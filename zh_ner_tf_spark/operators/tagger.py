@@ -1,0 +1,299 @@
+"""BiLSTM-CRF NER tagger as a vectorized ``mapInPandas`` operator.
+
+Fuses reference operators #5 (dictionary encode, data.py:≈73-85), #9 (pad,
+data.py:≈110-122), #10 (embedding lookup, model.py:≈54-64), #11 (BiLSTM,
+model.py:≈66-85), #12 (projection, model.py:≈86-95), #16 (Viterbi,
+model.py:≈239-255) and optionally #22 (BIO span extraction,
+utils.py:≈10-82) into ONE Arrow-batched UDF stage — the pipeline's only
+Python hot path (BASELINE.json input_hint: "vectorized pandas/Arrow UDFs,
+no per-row Python").
+
+Scale notes (the 100 TB story):
+  * Model weights + vocab ride a ``SparkContext.broadcast`` — one copy per
+    executor, fetched once, never shuffled.
+  * Padding is per-Arrow-batch (the reference's dynamic per-batch padding,
+    data.py:≈110-122): no materialized padded column ever hits a shuffle.
+  * Per-row output is provably independent of batch composition: the
+    recurrence freezes h/c at each row's own length and zeroes outputs
+    past it (the ``dynamic_rnn``/``reverse_sequence`` contract), so
+    Spark's arbitrary partitioning/batching is safe — verified by the
+    invariance tests (tests/test_tagger_parity.py).
+  * The recurrence is a GEMM per timestep over the whole batch (BLAS),
+    never a per-row Python loop; throughput scales with cores because the
+    stage is embarrassingly parallel over partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from zh_ner_tf_spark.config import FORGET_BIAS, LABEL2TAG, NUM_TOKEN, UNK_TOKEN
+
+# Entity label ids: 2k-1 = B-type(k), 2k = I-type(k), k in {1:PER,2:LOC,3:ORG}.
+_TYPE_NAME = {1: "PER", 2: "LOC", 3: "ORG"}
+
+
+# --------------------------------------------------------------------------
+# batched numeric kernels (float64 internally: engine and oracle both
+# promote, so BLAS summation-order noise stays ~1e-16, far below any
+# Viterbi decision margin)
+# --------------------------------------------------------------------------
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _lstm_batch(
+    x: np.ndarray, lens: np.ndarray, kernel: np.ndarray, bias: np.ndarray
+) -> np.ndarray:
+    """Length-masked batched LSTM: x [B,T,D] -> [B,T,H]; rows freeze state
+    at their own length and emit zeros past it (TF dynamic_rnn contract)."""
+    B, T, _ = x.shape
+    H = kernel.shape[1] // 4
+    h = np.zeros((B, H))
+    c = np.zeros((B, H))
+    out = np.zeros((B, T, H))
+    for t in range(T):
+        z = np.concatenate([x[:, t, :], h], axis=1) @ kernel + bias
+        i, j, f, o = np.split(z, 4, axis=1)
+        c_new = c * _sigmoid(f + FORGET_BIAS) + _sigmoid(i) * np.tanh(j)
+        h_new = np.tanh(c_new) * _sigmoid(o)
+        active = (t < lens)[:, None]
+        c = np.where(active, c_new, c)
+        h = np.where(active, h_new, h)
+        out[:, t, :] = np.where(active, h_new, 0.0)
+    return out
+
+
+def _reverse_sequence(x: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """tf.reverse_sequence: reverse each row's first len elements, keep
+    padding in place."""
+    B, T = x.shape[0], x.shape[1]
+    t_idx = np.arange(T)[None, :]
+    rev = lens[:, None] - 1 - t_idx
+    gather = np.where(t_idx < lens[:, None], rev, t_idx)
+    return x[np.arange(B)[:, None], gather]
+
+
+def batch_logits(
+    ids: np.ndarray, lens: np.ndarray, W: dict[str, np.ndarray]
+) -> np.ndarray:
+    """ids [B,Tmax] int64 (0-padded), lens [B] -> logits [B,Tmax,K]."""
+    emb = W["embeddings"].astype(np.float64)[ids]
+    fw = _lstm_batch(emb, lens, W["lstm_fw_kernel"].astype(np.float64),
+                     W["lstm_fw_bias"].astype(np.float64))
+    bw_in = _reverse_sequence(emb, lens)
+    bw = _lstm_batch(bw_in, lens, W["lstm_bw_kernel"].astype(np.float64),
+                     W["lstm_bw_bias"].astype(np.float64))
+    bw = _reverse_sequence(bw, lens)
+    out = np.concatenate([fw, bw], axis=2)
+    return out @ W["proj_W"].astype(np.float64) + W["proj_b"].astype(np.float64)
+
+
+def viterbi_batch(
+    logits: np.ndarray, lens: np.ndarray, trans: np.ndarray
+) -> np.ndarray:
+    """Batched max-sum Viterbi, first-occurrence argmax tie-break, one DP
+    over Tmax vectorized across rows; each row decodes over its own
+    length. Returns labels [B,Tmax] int32 (valid up to len per row)."""
+    B, T, K = logits.shape
+    trellis = logits[:, 0, :].copy()
+    bp = np.zeros((B, T, K), dtype=np.int32)
+    for t in range(1, T):
+        v = trellis[:, :, None] + trans[None, :, :]     # [B, K_prev, K_cur]
+        bp[:, t, :] = v.argmax(axis=1)
+        new_trellis = logits[:, t, :] + v.max(axis=1)
+        active = (t < lens)[:, None]
+        trellis = np.where(active, new_trellis, trellis)
+    labels = np.zeros((B, T), dtype=np.int32)
+    cur = trellis.argmax(axis=1).astype(np.int32)
+    labels[np.arange(B), lens - 1] = cur
+    for t in range(T - 2, -1, -1):
+        sel = t < (lens - 1)
+        prev = bp[np.arange(B), t + 1, cur]
+        cur = np.where(sel, prev, cur).astype(np.int32)
+        labels[:, t] = np.where(sel, cur, labels[:, t])
+    return labels
+
+
+# --------------------------------------------------------------------------
+# vectorized encode (operator #2 + #5): normalize + vocab lookup
+# --------------------------------------------------------------------------
+def encode_chars(flat: pd.Series, vocab: dict[str, int]) -> np.ndarray:
+    """Normalize a flat char Series and map to ids, all vectorized.
+
+    Uses pandas ``.str.isdigit`` (element-wise Python ``str.isdigit``) —
+    NOT an ASCII regex — to reproduce the reference's Unicode-wide digit
+    rule (SURVEY.md §2 #2: '１', '²' must map to <NUM>)."""
+    flat = flat.astype(object)
+    is_digit = flat.str.isdigit().fillna(False).to_numpy(dtype=bool)
+    arr = flat.to_numpy()
+    is_eng = ((arr >= "A") & (arr <= "Z")) | ((arr >= "a") & (arr <= "z"))
+    norm = flat.copy()
+    norm[is_digit] = NUM_TOKEN
+    norm[np.asarray(is_eng) & ~is_digit] = "<ENG>"
+    ids = norm.map(vocab)
+    unk = vocab[UNK_TOKEN]
+    return ids.fillna(unk).to_numpy(dtype=np.int64)
+
+
+# --------------------------------------------------------------------------
+# vectorized BIO span extraction over a decoded batch (operator #22b)
+# --------------------------------------------------------------------------
+def spans_from_labels(
+    labels: np.ndarray, lens: np.ndarray, chars_flat: np.ndarray
+) -> pd.DataFrame:
+    """labels [B,Tmax], lens [B], chars_flat = concatenated valid chars
+    (row-major). Returns DataFrame(row, mention, etype, begin, end), end
+    inclusive. Pinned dangling-I-X semantics: opens a new span."""
+    B, T = labels.shape
+    valid = np.arange(T)[None, :] < lens[:, None]
+    lab = labels[valid]                                  # [N] row-major
+    row_idx = np.repeat(np.arange(B), lens)
+    pos_idx = np.concatenate([np.arange(n) for n in lens]) if B else np.array([], int)
+    is_ent = lab > 0
+    type_id = (lab + 1) // 2                             # 0 for O
+    is_b = (lab % 2) == 1
+    prev_type = np.concatenate([[0], type_id[:-1]])
+    prev_ent = np.concatenate([[False], is_ent[:-1]])
+    row_start = np.concatenate([[True], row_idx[1:] != row_idx[:-1]]) if len(lab) else np.array([], bool)
+    boundary = is_ent & (
+        is_b | row_start | ~prev_ent | (prev_type != type_id)
+    )
+    span_id = np.cumsum(boundary)
+    if not is_ent.any():
+        return pd.DataFrame(columns=["row", "mention", "etype", "begin", "end"])
+    ent = pd.DataFrame({
+        "span": span_id[is_ent],
+        "row": row_idx[is_ent],
+        "pos": pos_idx[is_ent],
+        "ch": chars_flat[is_ent],
+        "tid": type_id[is_ent],
+    })
+    g = ent.groupby("span", sort=True)
+    out = g.agg(
+        row=("row", "first"),
+        begin=("pos", "min"),
+        end=("pos", "max"),
+        tid=("tid", "first"),
+        mention=("ch", "sum"),  # string concatenation in row order
+    ).reset_index(drop=True)
+    out["etype"] = out["tid"].map(_TYPE_NAME)
+    return out[["row", "mention", "etype", "begin", "end"]]
+
+
+# --------------------------------------------------------------------------
+# the mapInPandas operator
+# --------------------------------------------------------------------------
+def _run_batch(
+    pdf: pd.DataFrame, chars_col: str, W: dict, vocab: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
+    """Shared per-batch path: encode -> pad -> logits -> viterbi."""
+    seqs = pdf[chars_col]
+    if len(seqs) and isinstance(seqs.iloc[0], str):
+        seqs = seqs.map(list)
+    else:
+        seqs = seqs.map(lambda a: list(a))
+    lens = seqs.map(len).to_numpy(dtype=np.int64)
+    keep = lens > 0
+    seqs, lens = seqs[keep], lens[keep]
+    if len(seqs) == 0:
+        return np.zeros((0, 0), np.int32), lens, np.array([], object), keep
+    flat = pd.Series(
+        [c for s in seqs for c in s], dtype=object
+    )
+    ids_flat = encode_chars(flat, vocab)
+    B, Tmax = len(seqs), int(lens.max())
+    ids = np.zeros((B, Tmax), dtype=np.int64)   # <PAD>=0 (pad_mark=0)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    for b in range(B):  # cheap slice-assign loop, O(B) not O(N)
+        ids[b, : lens[b]] = ids_flat[offs[b]: offs[b + 1]]
+    logits = batch_logits(ids, lens, W)
+    labels = viterbi_batch(logits, lens, W["transitions"])
+    return labels, lens, flat.to_numpy(), keep
+
+
+def make_tag_udf(
+    weights_bc, vocab_bc, id_cols: list[str], chars_col: str
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """UDF emitting per-sentence tag sequences: id_cols..., tags array."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W, vocab = weights_bc.value, vocab_bc.value
+        for pdf in batches:
+            labels, lens, _, keep = _run_batch(pdf, chars_col, W, vocab)
+            kept = pdf.loc[keep.tolist() if hasattr(keep, "tolist") else keep]
+            tags = [
+                [LABEL2TAG[int(l)] for l in labels[b, : lens[b]]]
+                for b in range(len(lens))
+            ]
+            out = kept[id_cols].copy().reset_index(drop=True)
+            out["tags"] = pd.Series(tags, dtype=object)
+            yield out
+
+    return fn
+
+
+def make_mention_udf(
+    weights_bc, vocab_bc, id_cols: list[str], chars_col: str
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """UDF emitting mention rows (fused #22b): id_cols..., mention, etype,
+    begin, end — saves materializing + shuffling tag arrays."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W, vocab = weights_bc.value, vocab_bc.value
+        for pdf in batches:
+            labels, lens, chars_flat, keep = _run_batch(pdf, chars_col, W, vocab)
+            kept = pdf.loc[keep.tolist() if hasattr(keep, "tolist") else keep]
+            kept = kept.reset_index(drop=True)
+            if labels.size == 0:
+                yield pd.DataFrame(
+                    columns=[*id_cols, "mention", "etype", "begin", "end"]
+                )
+                continue
+            spans = spans_from_labels(labels, lens, chars_flat)
+            merged = spans.merge(
+                kept[id_cols].reset_index(names="row"), on="row", how="left"
+            )
+            merged["begin"] = merged["begin"].astype("int32")
+            merged["end"] = merged["end"].astype("int32")
+            yield merged[[*id_cols, "mention", "etype", "begin", "end"]]
+
+    return fn
+
+
+def tag_sentences(
+    df: DataFrame,
+    weights_bc,
+    vocab_bc,
+    id_cols: list[str],
+    chars_col: str = "chars",
+    emit: str = "tags",
+) -> DataFrame:
+    """Attach the tagger stage to a sentence DataFrame.
+
+    emit='tags'     -> id_cols..., tags array<string>
+    emit='mentions' -> id_cols..., mention string, etype string,
+                       begin int, end int
+    """
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema if f.name in id_cols
+    )
+    if emit == "tags":
+        fn = make_tag_udf(weights_bc, vocab_bc, id_cols, chars_col)
+        schema = f"{id_schema}, tags array<string>"
+    elif emit == "mentions":
+        fn = make_mention_udf(weights_bc, vocab_bc, id_cols, chars_col)
+        schema = f"{id_schema}, mention string, etype string, begin int, end int"
+    else:
+        raise ValueError(f"emit={emit!r}")
+    return df.select(*id_cols, chars_col).mapInPandas(fn, schema=schema)
+
+
+def broadcast_model(spark, weights: dict[str, np.ndarray], word2id: dict[str, int]):
+    sc = spark.sparkContext
+    return sc.broadcast(weights), sc.broadcast(word2id)
