@@ -1,0 +1,170 @@
+"""Relational operator gates: window-form BIO spans vs oracle, vocab
+first-seen order, eval align + conlleval-equivalent P/R/F1 vs the
+pure-Python port (including the reference 0-quirk encodings)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.config import PAD_TOKEN, UNK_TOKEN
+from zh_ner_tf_spark.fixtures.corpus import gen_ner_corpus
+from zh_ner_tf_spark.operators.evaluation import (
+    align_tags,
+    conlleval_prf1,
+    token_accuracy,
+)
+from zh_ner_tf_spark.operators.sentences import split_sentences, tokenize
+from zh_ner_tf_spark.operators.spans import extract_spans
+from zh_ner_tf_spark.operators.vocab import build_vocab, vocab_to_dict
+from zh_ner_tf_spark.oracle import conlleval_metrics, get_entities, normalize_token
+
+
+def _exploded_df(spark, corpus, tag_source="gold"):
+    rows = []
+    for i, (chars, tags) in enumerate(corpus):
+        for pos, (ch, tag) in enumerate(zip(chars, tags)):
+            rows.append((i, pos, tag, ch))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "pos", "tag", "ch"])
+    )
+
+
+def test_window_spans_match_oracle(spark):
+    corpus = gen_ner_corpus(150, seed=42)
+    df = _exploded_df(spark, corpus)
+    got = {
+        (r["doc_id"], r["mention"], r["etype"], r["begin"], r["end"])
+        for r in extract_spans(df, ["doc_id"]).collect()
+    }
+    want = set()
+    for i, (chars, tags) in enumerate(corpus):
+        for m, t, b, e in get_entities(tags, chars):
+            want.add((i, m, t, b, e))
+    assert got == want
+
+
+def test_window_spans_dangling_i_quirk(spark):
+    # Quarantined quirk fixture: dangling I-X must OPEN a span (pinned
+    # semantics for the reference's UnboundLocalError crash).
+    chars = list("abcdef")
+    tags = ["I-PER", "I-PER", "O", "I-LOC", "B-LOC", "I-ORG"]
+    df = _exploded_df(spark, [(chars, tags)])
+    got = {
+        (r["mention"], r["etype"], r["begin"], r["end"])
+        for r in extract_spans(df, ["doc_id"]).collect()
+    }
+    want = {(m, t, b, e) for m, t, b, e in get_entities(tags, chars)}
+    assert got == want == {
+        ("ab", "PER", 0, 1), ("d", "LOC", 3, 3), ("e", "LOC", 4, 4),
+        ("f", "ORG", 5, 5),
+    }
+
+
+def test_vocab_build_first_seen_order(spark):
+    corpus = gen_ner_corpus(60, seed=42)
+    rows = []
+    gpos = 0
+    for i, (chars, _) in enumerate(corpus):
+        for ch in chars:
+            rows.append((ch, gpos))
+            gpos += 1
+    tokens = spark.createDataFrame(pd.DataFrame(rows, columns=["token", "gpos"]))
+    vocab = vocab_to_dict(build_vocab(tokens, min_count=1))
+
+    # oracle: first-seen insertion order over normalized stream
+    want: dict[str, int] = {}
+    for tok, _ in rows:
+        t = normalize_token(tok)
+        if t not in want:
+            want[t] = len(want) + 1
+    want[UNK_TOKEN] = len(want) + 1
+    want[PAD_TOKEN] = 0
+    assert vocab == want
+
+
+def test_vocab_min_count_keeps_reserved(spark):
+    tokens = spark.createDataFrame(
+        pd.DataFrame(
+            {"token": ["中", "中", "9", "X", "丁"], "gpos": [0, 1, 2, 3, 4]}
+        )
+    )
+    v = vocab_to_dict(build_vocab(tokens, min_count=2))
+    # 中 (count 2) kept; <NUM>/<ENG> kept despite count 1; 丁 dropped.
+    assert "中" in v and "<NUM>" in v and "<ENG>" in v and "丁" not in v
+    assert v["中"] == 1 and v[PAD_TOKEN] == 0
+
+
+def test_conlleval_prf1_matches_python_port(spark):
+    corpus = gen_ner_corpus(120, seed=42)
+    gold = [tags for _, tags in corpus]
+    # synthetic predictions: perturb deterministically — shift tags of
+    # every 3rd sentence, blank every 7th tag
+    pred = []
+    for i, tags in enumerate(gold):
+        p = list(tags)
+        if i % 3 == 0 and len(p) > 1:
+            p = p[1:] + ["O"]
+        p = [("O" if (j % 7 == 3) else t) for j, t in enumerate(p)]
+        pred.append(p)
+
+    want = conlleval_metrics(gold, pred)
+
+    rows_g, rows_p = [], []
+    for i, (chars, tags) in enumerate(corpus):
+        for pos, (ch, t) in enumerate(zip(chars, tags)):
+            rows_g.append((i, pos, t, ch))
+        for pos, t in enumerate(pred[i]):
+            rows_p.append((i, pos, t, chars[pos]))
+    gdf = spark.createDataFrame(pd.DataFrame(rows_g, columns=["doc_id", "pos", "tag", "ch"]))
+    pdf = spark.createDataFrame(pd.DataFrame(rows_p, columns=["doc_id", "pos", "tag", "ch"]))
+    got = {r["etype"]: r.asDict() for r in conlleval_prf1(gdf, pdf, ["doc_id"]).collect()}
+
+    for etype in ("PER", "LOC", "ORG", "__overall__"):
+        assert got[etype]["guessed"] == want[etype]["guessed"]
+        assert got[etype]["gold"] == want[etype]["gold"]
+        assert got[etype]["correct"] == want[etype]["correct"]
+        assert abs(got[etype]["precision"] - want[etype]["precision"]) < 1e-6
+        assert abs(got[etype]["recall"] - want[etype]["recall"]) < 1e-6
+        assert abs(got[etype]["f1"] - want[etype]["f1"]) < 1e-6
+
+
+def test_align_and_token_accuracy(spark):
+    corpus = gen_ner_corpus(40, seed=42)
+    gold_rows = [
+        (i, chars, tags) for i, (chars, tags) in enumerate(corpus)
+    ]
+    pred_rows = [
+        (i, ["O"] * len(tags)) for i, (_, tags) in enumerate(corpus)
+    ]
+    g = spark.createDataFrame(gold_rows, "doc_id int, chars array<string>, tags array<string>")
+    p = spark.createDataFrame(pred_rows, "doc_id int, tags array<string>")
+    aligned = align_tags(g, p, ["doc_id"])
+    n_total = sum(len(t) for _, t in corpus)
+    n_o = sum(1 for _, tags in corpus for t in tags if t == "O")
+    row = token_accuracy(aligned).collect()[0]
+    assert row["n_tokens"] == n_total
+    assert row["n_correct"] == n_o
+    assert abs(row["accuracy"] - round(n_o / n_total, 6)) < 1e-9
+
+
+def test_sentence_split_and_tokenize(spark):
+    df = spark.createDataFrame(
+        [(1, "你好。世界！abc?  x  y .."), (2, ""), (3, "nodelim")],
+        "doc_id int, text string",
+    )
+    sents = {
+        (r["doc_id"], r["sent_id"], r["sentence"])
+        for r in split_sentences(df, "text", ["doc_id"]).collect()
+    }
+    assert sents == {
+        (1, 0, "你好"), (1, 1, "世界"), (1, 2, "abc"), (1, 3, "x  y"),
+        (3, 0, "nodelim"),
+    }
+    toks = {
+        (r["doc_id"], r["pos"], r["token"])
+        for r in tokenize(
+            spark.createDataFrame([(1, "a  b c")], "doc_id int, text string")
+        ).collect()
+    }
+    assert toks == {(1, 0, "a"), (1, 1, "b"), (1, 2, "c")}

@@ -1,0 +1,108 @@
+"""Text-analysis column functions for the training-data pipeline:
+language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting. All JVM-side expressions (whole-stage codegen);
+no UDFs — these run inside the pages scan projection at 100 TB, so they
+must be free.
+
+Not in the reference (it assumes a clean single-language corpus); mandated
+by the graft brief ("operations a large-scale training-data pipeline would
+need").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.functions.hashing import poly_hash
+
+# Frozen, tiny stopword inventories — enough for a deterministic n-gram/
+# stopword heuristic; real deployments would broadcast a fastText-style
+# table, same plumbing.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
+CJK_RANGE = "[\\u4e00-\\u9fff]"
+STOPWORDS = ["the", "a", "of", "and"]
+
+
+def _count_token(text: Column, tok: str) -> Column:
+    # count occurrences of tok as a whole word via padded-split size
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return (F.size(F.split(padded, f" {tok} ")) - 1).cast("bigint")
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic language guess: CJK chars -> zh; else the marker
+    inventory with the highest whole-word hit count (ties broken by
+    alphabetical lang order); no hits -> 'und'."""
+    zh = F.regexp_count(text, F.lit(CJK_RANGE)) > 0
+    scores = [
+        (lang, sum((_count_token(text, t) for t in toks), F.lit(0).cast("bigint")))
+        for lang, toks in sorted(LANG_MARKERS.items())
+    ]
+    best_score = None
+    best_lang = F.lit("und")
+    for lang, score in scores:
+        if best_score is None:
+            best_score, best_lang = score, F.when(score > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            better = score > best_score
+            best_lang = F.when(better & (score > 0), F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(better, score).otherwise(best_score)
+    return F.when(zh, F.lit("zh")).otherwise(best_lang)
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count (split on runs of whitespace)."""
+    return F.size(F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")).cast(
+        "bigint"
+    )
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token count: alnum runs and each punct char count as one
+    token (regex segmentation — an upper-bound proxy for BPE length)."""
+    return F.regexp_count(text, F.lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("bigint")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality columns: n_chars_m, n_tokens,
+    avg_token_len, stopword_ratio, punct_ratio, quality_score (all
+    rounded for cross-engine stability)."""
+    t = F.col(text_col)
+    n_tokens = token_count_ws(t)
+    n_chars = F.length(t).cast("bigint")
+    stop_hits = sum(
+        (_count_token(t, s) for s in STOPWORDS), F.lit(0).cast("bigint")
+    )
+    punct = F.regexp_count(t, F.lit("[^A-Za-z0-9\\s\\u4e00-\\u9fff]")).cast("bigint")
+    avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_tok >= 2.0) & (avg_tok <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def doc_fingerprint(text: Column, k: int = 3) -> Column:
+    """Rolling-hash document fingerprint: polynomial hash of the full
+    text (cheap, exact-dup-stable) — the per-shingle winnowing variant
+    lives in operators/dedup.py."""
+    _ = k
+    return poly_hash(text)

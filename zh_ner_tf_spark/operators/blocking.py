@@ -1,0 +1,142 @@
+"""MinHash-LSH entity blocking (graft extension; BASELINE.json
+north_star: "MinHash-LSH entity blocking").
+
+Pipeline shape (all JVM-side Column arithmetic — the seeded universal
+hash family from functions/hashing.py; no ml.Pipeline state, no UDF):
+
+  surface string
+    -> char k-shingles               (transform over sequence())
+    -> shingle hashes                (polynomial hash)
+    -> MinHash signature             (min over universal-hash family,
+                                      computed per hash as an array fold)
+    -> bands                         (hash pairs of signature rows)
+    -> candidate pairs               (self-join on (band_id, band_value))
+    -> exact Jaccard filter          (array_intersect/union on distinct
+                                      shingle sets)
+
+Scale notes: the only wide ops are the band groupBy/self-join. Band
+values are near-uniform *except* for very frequent identical surfaces —
+those are exact dups, collapsed by a distinct-on-surface step BEFORE
+banding, which is also the correct semantic (identical strings are the
+same entity key). AQE skew-join handles residual band skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.config import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_NUM_HASHES,
+    MINHASH_PRIME,
+    MINHASH_SHINGLE_K,
+    SEED,
+)
+from zh_ner_tf_spark.functions.hashing import hash_family
+
+
+def shingle_hashes(col: Column, k: int = MINHASH_SHINGLE_K) -> Column:
+    """Distinct polynomial hashes of the char k-shingles of a string.
+    Strings shorter than k hash as one whole-string shingle."""
+    n = F.length(col)
+    starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    shingles = F.transform(starts, lambda i: F.substring(col, i, k))
+    hashes = F.transform(
+        shingles,
+        lambda s: F.aggregate(
+            F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % MINHASH_PRIME,
+        ),
+    )
+    return F.array_distinct(hashes)
+
+
+def minhash_signature(
+    shingles_col: Column,
+    n_hashes: int = MINHASH_NUM_HASHES,
+    seed: int = SEED,
+) -> Column:
+    """array<bigint> shingle hashes -> array<bigint> MinHash signature."""
+    fam = hash_family(n_hashes, seed)
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    sigs = [
+        F.array_min(F.transform(shingles_col, _perm(a, b))) for a, b in fam
+    ]
+    return F.array(*sigs)
+
+
+def add_bands(
+    df: DataFrame,
+    sig_col: str = "signature",
+    n_bands: int = MINHASH_BANDS,
+    n_hashes: int = MINHASH_NUM_HASHES,
+) -> DataFrame:
+    """signature -> exploded (band_id, band_value) rows. Band value packs
+    the band's signature rows into one bigint (rows-per-band fixed)."""
+    rows = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        v = F.lit(0).cast("bigint")
+        for r in range(rows):
+            v = v * MINHASH_PRIME + F.element_at(F.col(sig_col), b * rows + r + 1)
+        bands.append(F.struct(F.lit(b).alias("band_id"), v.alias("band_value")))
+    return df.select(
+        "*", F.explode(F.array(*bands)).alias("band")
+    ).select("*", "band.band_id", "band.band_value").drop("band")
+
+
+def block_entities(
+    entities: DataFrame,
+    key_col: str = "entity_id",
+    surface_col: str = "surface",
+    k: int = MINHASH_SHINGLE_K,
+    n_hashes: int = MINHASH_NUM_HASHES,
+    n_bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    seed: int = SEED,
+) -> DataFrame:
+    """entities(entity_id, surface) -> candidate edges
+    (src, dst, jaccard) with src < dst and exact shingle-set Jaccard >=
+    threshold. Dedups identical surfaces before banding (exact dups are
+    definitionally matched and would otherwise create hot band keys)."""
+    with_sh = entities.select(
+        F.col(key_col).alias("eid"),
+        F.col(surface_col).alias("surface"),
+        shingle_hashes(F.col(surface_col), k).alias("shingles"),
+    )
+    canon_surface = with_sh.groupBy("surface").agg(
+        F.min("eid").alias("eid"), F.first("shingles").alias("shingles")
+    )
+    banded = add_bands(
+        canon_surface.select(
+            "eid", "shingles", minhash_signature(F.col("shingles"), n_hashes, seed).alias("signature")
+        ),
+        "signature", n_bands, n_hashes,
+    )
+    left = banded.select(
+        "band_id", "band_value",
+        F.col("eid").alias("src"), F.col("shingles").alias("sh_a"),
+    )
+    right = banded.select(
+        "band_id", "band_value",
+        F.col("eid").alias("dst"), F.col("shingles").alias("sh_b"),
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_value"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "sh_a", "sh_b")
+        .dropDuplicates(["src", "dst"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )

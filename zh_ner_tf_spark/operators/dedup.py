@@ -1,0 +1,163 @@
+"""Document deduplication family for the training-data pipeline:
+exact (hash-groupBy), MinHash-LSH near-dup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. All JVM-side Column arithmetic over the seeded
+hash family (functions/hashing.py) — deterministic and oracle-checkable.
+
+Scale notes per variant:
+  * exact: one map-side-combinable groupBy on md5(text) — the digest is
+    computed in the scan projection, so the shuffle carries 32 bytes per
+    row, not the document.
+  * minhash: signatures are a narrow projection; the only wide op is the
+    band self-join (see operators/blocking.py for the skew story).
+  * simhash: narrow projection to one bigint per doc, then a groupBy on
+    the simhash value (near-dups collide by construction).
+  * ngram-jaccard: exact verification for candidate pairs only — never
+    run pairwise on the full corpus.
+  * embedding cosine: brute-force is O(n^2) — gated to candidate pairs or
+    the LSH-bucketed path in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.config import MINHASH_PRIME
+from zh_ner_tf_spark.operators.blocking import block_entities
+
+
+def exact_dup_groups(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_dups,
+    keep_id = min doc id). Only groups with >1 member are duplicates;
+    all groups are returned (callers anti-join against keep_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(key_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(key_col).alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative of every identical-text group."""
+    groups = exact_dup_groups(df, key_col, text_col)
+    return df.join(
+        groups.select(F.col("keep_id").alias(key_col)), key_col, "left_semi"
+    )
+
+
+def word_ngram_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct polynomial hashes of word n-grams (whitespace tokens)."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    cnt = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.aggregate(
+            F.transform(F.split(g, ""), lambda c: F.ascii(c).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % MINHASH_PRIME,
+        ),
+    )
+    return F.array_distinct(hashes)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (src, dst) candidate pairs."""
+    sets = df.select(
+        F.col(key_col).alias("_k"), word_ngram_hashes(F.col(text_col), n).alias("_g")
+    )
+    a = sets.select(F.col("_k").alias("src"), F.col("_g").alias("_ga"))
+    b = sets.select(F.col("_k").alias("dst"), F.col("_g").alias("_gb"))
+    joined = pairs.join(a, "src").join(b, "dst")
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return joined.select(
+        "src", "dst", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 16, n: int = 2) -> Column:
+    """SimHash over word n-gram hashes: bit b of the output is the
+    majority vote of bit b across the document's n-gram hashes."""
+    hashes = word_ngram_hashes(text, n)
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(b))
+        out = out + F.when(votes > 0, F.lit(2 ** b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_groups(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text",
+    bits: int = 16, n: int = 2,
+) -> DataFrame:
+    """(simhash, n_docs, keep_id): documents colliding on the full
+    simhash are near-dup candidates (Hamming distance 0 buckets)."""
+    return (
+        df.select(F.col(key_col), simhash(F.col(text_col), bits, n).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(key_col).alias("keep_id"))
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over document text (reuses the
+    entity-blocking operator — same algorithm, document granularity)."""
+    return block_entities(
+        df.select(F.col(key_col).alias("entity_id"), F.col(text_col).alias("surface")),
+        threshold=threshold,
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. With ``pairs`` given, verifies
+    only those; otherwise falls back to the LSH-bucketed candidate
+    generator in operators/similarity.py (never full O(n^2))."""
+    from zh_ner_tf_spark.operators.similarity import cosine_expr, lsh_candidates
+
+    if pairs is None:
+        pairs = lsh_candidates(emb, key_col, vec_col)
+    a = emb.select(F.col(key_col).alias("src"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(key_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    joined = pairs.select("src", "dst").join(a, "src").join(b, "dst")
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    return (
+        joined.select("src", "dst", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,73 @@
+"""Sentence split + tokenization (graft extension; SURVEY.md §2.C).
+
+Narrow, shuffle-free operators: ``posexplode(split(...))`` stays inside
+whole-stage codegen — no Python, no shuffle. At 100 TB this is the fan-out
+stage between the pages scan and the tagger; keeping it JVM-side means the
+only Python boundary in the hot path is the tagger UDF itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zh_ner_tf_spark.config import SENTENCE_SPLIT_REGEX
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    delim_regex: str = SENTENCE_SPLIT_REGEX,
+) -> DataFrame:
+    """text -> one row per non-empty trimmed sentence with 0-based sent_id.
+
+    sent_id numbers the non-empty segments consecutively (a doc whose text
+    starts with a delimiter still gets sent_id 0 for its first sentence).
+    """
+    id_cols = id_cols or ["doc_id"]
+    parts = F.split(F.col(text_col), delim_regex)
+    exploded = df.select(
+        *id_cols, F.posexplode(parts).alias("seg_pos", "sentence")
+    ).withColumn("sentence", F.trim("sentence"))
+    exploded = exploded.filter(F.col("sentence") != "")
+    w = Window.partitionBy(*id_cols).orderBy("seg_pos")
+    return (
+        exploded.withColumn("sent_id", (F.row_number().over(w) - 1).cast("int"))
+        .drop("seg_pos")
+    )
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    sep: str = " ",
+) -> DataFrame:
+    """text -> one row per non-empty token with 0-based token position.
+
+    pos counts non-empty tokens (runs of separators collapse), matching
+    ``text.split()`` semantics for single-space separators.
+    """
+    id_cols = id_cols or ["doc_id"]
+    exploded = df.select(
+        *id_cols, F.posexplode(F.split(F.col(text_col), sep)).alias("raw_pos", "token")
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy(*id_cols).orderBy("raw_pos")
+    return (
+        exploded.withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+        .drop("raw_pos")
+    )
+
+
+def explode_chars(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """text -> one row per character with 0-based position (corpus-scan
+    twin of reference data.py:≈16-35 at char granularity)."""
+    id_cols = id_cols or ["doc_id"]
+    return df.select(
+        *id_cols,
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
+    ).withColumn("pos", F.col("pos").cast("int"))

@@ -1,0 +1,98 @@
+"""Explicit skew handling — hot-key census + salted two-phase aggregation
+(BASELINE.json north_rule: "skew handled explicitly").
+
+AQE's skew-join splitting covers JOIN skew at runtime; GROUP-BY skew
+(one entity surface appearing 10^9 times in a 10^12-doc crawl) needs the
+manual two-phase shape because a hash aggregate's hot key lands on one
+reducer regardless of AQE:
+
+  phase 1: groupBy(key, salt) partial aggregate  (salt = hash(row) % S,
+           only for census-detected hot keys; cold keys salt=0)
+  phase 2: groupBy(key) final aggregate over S partials
+
+The census itself is a cheap map-side-combinable count, optionally on a
+sample. The salted path is provably equivalent to the direct groupBy for
+any commutative-associative aggregate — tests assert equality, and the
+DuckDB oracle for the queries() entry IS the direct groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.config import DEFAULT_SALT_BUCKETS, HOT_KEY_FACTOR
+
+
+def hot_key_census(
+    df: DataFrame, key_cols: list[str], factor: int = HOT_KEY_FACTOR
+) -> DataFrame:
+    """Keys whose row count exceeds ``factor`` * mean-rows-per-key."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(F.avg("n").alias("mean_n")).collect()[0]
+    return counts.filter(F.col("n") > factor * float(stats["mean_n"])).select(
+        *key_cols, "n"
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation equivalent to
+    ``df.groupBy(key_cols).agg(...)`` for count/sum/min/max.
+
+    aggs: {out_name: (fn, col)} with fn in {'count','sum','min','max'}.
+    salt_on: expression to derive the salt from (defaults to a hash of
+    all columns via spark_partition_id-free deterministic xxhash64).
+    """
+    salt = (
+        (salt_on if salt_on is not None else F.xxhash64(*df.columns))
+        % salt_buckets
+    ).alias("_salt")
+    partial_exprs = []
+    final_exprs = []
+    for out, (fn, col) in aggs.items():
+        p = f"_p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"unsupported agg fn {fn!r}")
+    phase1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(
+        *partial_exprs
+    )
+    return phase1.groupBy(*key_cols).agg(*final_exprs)
+
+
+def repartition_salted(
+    df: DataFrame,
+    key_cols: list[str],
+    hot_keys: DataFrame,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Repartition with per-key salting for census-detected hot keys:
+    cold keys keep salt 0 (co-located), hot keys spread over
+    ``salt_buckets`` partitions. Downstream per-key aggregation must be
+    two-phase (see salted_agg)."""
+    hk = F.broadcast(hot_keys.select(*key_cols).withColumn("_hot", F.lit(True)))
+    joined = df.join(hk, key_cols, "left")
+    salted = joined.withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(), F.xxhash64(*df.columns) % salt_buckets
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+    return salted.repartition(*[F.col(c) for c in key_cols], F.col("_salt"))

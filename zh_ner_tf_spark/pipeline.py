@@ -1,0 +1,126 @@
+"""The flagship KG-construction pipeline (BASELINE.json north_star):
+
+  pages(url, warc_ts, html, text, lang)
+    -> lang filter                      (predicate pushdown into scan)
+    -> html->text extraction            (Arrow pandas UDF, NULL rows only)
+    -> sentence split                   (JVM-side, narrow)
+    -> BiLSTM-CRF tagger                (mapInPandas, broadcast weights)
+    -> mentions(url, sent_id, mention, etype, begin, end)
+    -> dependency-pattern triples       (sentence self-join + broadcast
+                                         pattern table)
+    -> MinHash-LSH blocking             (band self-join)
+    -> connected components             (iterative joins)
+    -> nodes / edges tables             (parquet; Iceberg writeTo behind
+                                         the same call sites on a real
+                                         catalog)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.operators.blocking import block_entities
+from zh_ner_tf_spark.operators.components import connected_components
+from zh_ner_tf_spark.operators.extract_text import with_extracted_text
+from zh_ner_tf_spark.operators.sentences import split_sentences
+from zh_ner_tf_spark.operators.tagger import broadcast_model, tag_sentences
+from zh_ner_tf_spark.operators.triples import extract_triples
+
+
+def pages_to_mentions(
+    pages: DataFrame,
+    weights_bc,
+    vocab_bc,
+    lang: str | None = "zh",
+) -> tuple[DataFrame, DataFrame]:
+    """pages -> (sentences, mentions). Returns sentences too because the
+    triple extractor needs the sentence text for connective matching."""
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    df = with_extracted_text(df).select("url", "text")
+    sentences = split_sentences(df, "text", ["url"]).select(
+        "url", "sent_id", "sentence"
+    )
+    # Length-clustered batching: co-batched rows pad to similar lengths,
+    # cutting wasted GEMM work in the tagger (SURVEY.md §4.2). Narrow op —
+    # sorts within partitions only, no shuffle.
+    sentences = sentences.sortWithinPartitions(F.length("sentence"))
+    mentions = tag_sentences(
+        sentences,
+        weights_bc,
+        vocab_bc,
+        id_cols=["url", "sent_id"],
+        chars_col="sentence",
+        emit="mentions",
+    )
+    return sentences, mentions
+
+
+def mentions_to_graph(
+    mentions: DataFrame, sentences: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """mentions + sentences -> (triples, nodes, edges).
+
+    nodes: canon_id, surface, etype, freq — canonicalized via
+    MinHash-LSH blocking + connected components over surface similarity.
+    edges: src/dst canon ids + pred + weight.
+    """
+    triples = extract_triples(mentions, sentences, ["url", "sent_id"])
+
+    surfaces = (
+        mentions.groupBy("mention", "etype")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "entity_id", F.abs(F.xxhash64("mention", "etype")).cast("bigint")
+        )
+    )
+    sim_edges = block_entities(
+        surfaces.select("entity_id", F.col("mention").alias("surface"))
+    )
+    comp = connected_components(sim_edges)
+    nodes = (
+        surfaces.join(comp.withColumnRenamed("node", "entity_id"), "entity_id", "left")
+        .withColumn("canon_id", F.coalesce("component", "entity_id"))
+        .select("canon_id", F.col("mention").alias("surface"), "etype", "freq")
+    )
+    surf_to_canon = nodes.select(
+        F.col("surface").alias("mention"), "canon_id"
+    ).dropDuplicates(["mention"])
+    edges = (
+        triples.join(
+            surf_to_canon.withColumnRenamed("canon_id", "src"),
+            triples["subj"] == surf_to_canon["mention"],
+        )
+        .drop("mention")
+        .join(
+            surf_to_canon.withColumnRenamed("canon_id", "dst").withColumnRenamed(
+                "mention", "m2"
+            ),
+            F.col("obj") == F.col("m2"),
+        )
+        .drop("m2")
+        .groupBy("src", "dst", "pred")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return triples, nodes, edges
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    weights,
+    word2id,
+    lang: str | None = "zh",
+) -> dict[str, DataFrame]:
+    wb, vb = broadcast_model(spark, weights, word2id)
+    sentences, mentions = pages_to_mentions(pages, wb, vb, lang)
+    triples, nodes, edges = mentions_to_graph(mentions, sentences)
+    return {
+        "sentences": sentences,
+        "mentions": mentions,
+        "triples": triples,
+        "nodes": nodes,
+        "edges": edges,
+    }

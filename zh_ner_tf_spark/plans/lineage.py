@@ -1,0 +1,148 @@
+"""Per-partition checkpoint / lineage manifests with exact resume
+(BASELINE.json north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+The unit of commit is an INPUT PARTITION (a stable, data-derived key such
+as ``pmod(xxhash64(url), n_buckets)`` — NOT ``spark_partition_id()``,
+which is scheduling-dependent and would break exact resume). For each
+stage run:
+
+  1. plan = input keyed by bucket; committed = manifest rows with
+     status='committed' for (stage, bucket)
+  2. work = input LEFT ANTI JOIN committed  -> only unfinished buckets
+  3. outputs are written bucket-partitioned (parquet partitionBy) so a
+     re-run overwrites its own bucket idempotently (dynamic partition
+     overwrite), never double-appends
+  4. after the write, manifest rows (stage, bucket, input_fingerprint,
+     rows_in, rows_out, status, run_id) are appended atomically (single
+     task via coalesce(1) on manifest-sized data)
+
+Idempotence argument: a crash between 3 and 4 re-runs the bucket and
+overwrites the same partition directory; a crash before 3 changes
+nothing. The manifest is append-only; readers take the latest run_id per
+(stage, bucket). The reference's analog is TF checkpointing
+(model.py:≈200 [R]) — model-state-only; per-partition data lineage is the
+graft extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "stage string, bucket int, input_fingerprint string, rows_in bigint, "
+    "rows_out bigint, status string, run_id string, committed_at double"
+)
+
+
+def bucket_col(key_col: str, n_buckets: int) -> F.Column:
+    """Stable, data-derived partition key for commit bookkeeping."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    if os.path.exists(manifest_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(manifest_dir)
+    ):
+        return spark.read.parquet(manifest_dir)
+    return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def committed_buckets(spark: SparkSession, manifest_dir: str, stage: str) -> DataFrame:
+    m = read_manifest(spark, manifest_dir)
+    return (
+        m.filter((F.col("stage") == stage) & (F.col("status") == "committed"))
+        .select("bucket")
+        .distinct()
+    )
+
+
+def resume_filter(
+    df: DataFrame,
+    spark: SparkSession,
+    manifest_dir: str,
+    stage: str,
+    key_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Input minus already-committed buckets (exact resume)."""
+    with_bucket = df.withColumn("_bucket", bucket_col(key_col, n_buckets))
+    done = committed_buckets(spark, manifest_dir, stage).withColumnRenamed(
+        "bucket", "_bucket"
+    )
+    return with_bucket.join(F.broadcast(done), "_bucket", "left_anti")
+
+
+def run_stage_with_lineage(
+    df: DataFrame,
+    transform,
+    spark: SparkSession,
+    stage: str,
+    key_col: str,
+    out_dir: str,
+    manifest_dir: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Execute ``transform`` bucket-partitioned with exact resume.
+
+    transform: DataFrame (with _bucket col) -> DataFrame (must keep
+    _bucket). Returns the full stage output (committed ∪ new).
+    """
+    pending = resume_filter(df, spark, manifest_dir, stage, key_col, n_buckets)
+    run_id = uuid.uuid4().hex
+
+    if pending.limit(1).count() > 0:
+        out = transform(pending)
+        per_bucket_in = (
+            pending.groupBy("_bucket").agg(F.count(F.lit(1)).alias("rows_in"))
+        )
+        (
+            out.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+        per_bucket_out = (
+            spark.read.parquet(out_dir)
+            .join(per_bucket_in.select("_bucket"), "_bucket", "left_semi")
+            .groupBy("_bucket")
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+        )
+        fingerprint = json.dumps({"stage": stage, "key": key_col, "n": n_buckets})
+        manifest_rows = (
+            per_bucket_in.join(per_bucket_out, "_bucket", "left")
+            .na.fill(0, ["rows_out"])
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col("_bucket").alias("bucket"),
+                F.lit(fingerprint).alias("input_fingerprint"),
+                F.col("rows_in"),
+                F.col("rows_out"),
+                F.lit("committed").alias("status"),
+                F.lit(run_id).alias("run_id"),
+                F.lit(time.time()).alias("committed_at"),
+            )
+        )
+        manifest_rows.coalesce(1).write.mode("append").parquet(manifest_dir)
+    return spark.read.parquet(out_dir)
+
+
+def stage_metrics(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Per-stage rows_in/rows_out/buckets — the run-metrics surface
+    (reference analog: tf.summary + logger, model.py:≈139-144 [R])."""
+    m = read_manifest(spark, manifest_dir)
+    return (
+        m.filter(F.col("status") == "committed")
+        .groupBy("stage")
+        .agg(
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.sum("rows_in").alias("rows_in"),
+            F.sum("rows_out").alias("rows_out"),
+        )
+    )
