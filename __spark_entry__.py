@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: NER-mention extraction over sf0.001
+                     documents through the full mapInPandas BiLSTM-CRF
+                     tagger (broadcast planted weights), aggregated to
+                     top mentions.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     graft extensions); each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``   — DuckDB-dialect twin for every query (no rows-only
+                     entries: even the neural tagger is oracle-checked,
+                     via a planted class model whose correct output is
+                     letter-run span extraction, expressible in SQL).
+
+Cross-engine determinism rules used throughout (see SURVEY.md §5):
+  * money sums: per-row ROUND(x*100) -> BIGINT cents, then SUM (exact,
+    associative — immune to float summation order).
+  * ratios: ROUND(.., 6) computed from integer counts.
+  * every computed column aliased identically in both dialects; counts
+    and ids cast to BIGINT in both (DuckDB row_number/sum type quirks).
 """
 
 from __future__ import annotations
@@ -12,27 +24,1001 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zh_ner_tf_spark.config import ENG_TOKEN, NUM_TOKEN, PAD_TOKEN, SEED, UNK_TOKEN
+from zh_ner_tf_spark.functions.hashing import MINHASH_PRIME, hash_family
+from zh_ner_tf_spark.functions.text import lang_id, quality_features, token_count_bpe_ish, token_count_ws
+from zh_ner_tf_spark.model.weights import build_class_weights
+from zh_ner_tf_spark.operators.dedup import simhash, word_ngram_hashes
+from zh_ner_tf_spark.operators.evaluation import conlleval_prf1, token_accuracy
+from zh_ner_tf_spark.operators.blocking import add_bands, minhash_signature
+from zh_ner_tf_spark.operators.sentences import split_sentences, tokenize
+from zh_ner_tf_spark.operators.similarity import brute_force_topk
+from zh_ner_tf_spark.operators.skew import salted_agg
+from zh_ner_tf_spark.operators.spans import extract_spans
+from zh_ner_tf_spark.operators.tagger import broadcast_model, tag_sentences
+from zh_ner_tf_spark.operators.vocab import build_vocab
+from zh_ner_tf_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic tagging rules (deterministic, expressible in both
+# dialects) — documents.text is space-separated ASCII words, so the BIO
+# queries classify TOKENS: gold rule A vs perturbed pred rule B.
+# ---------------------------------------------------------------------------
+GOLD_ORG = ("table", "join", "merge")
+PRED_ORG = ("table", "join")
+GOLD_HI = "f"   # PER = first letter in [a..GOLD_HI]
+PRED_HI = "e"
+
+_TRIPLE_CASES = [("scan", "scans"), ("group", "groups"), ("sort", "sorts")]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize(_docs(spark, sf_dir), "text", ["doc_id"])
+
+
+def _class_expr(org_words: tuple[str, ...], hi: str) -> F.Column:
+    t = F.col("token")
+    return (
+        F.when(t.isin(*org_words), F.lit("ORG"))
+        .when(t.substr(1, 1).between("a", hi), F.lit("PER"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _rule_tagged(toks: DataFrame, org_words: tuple[str, ...], hi: str) -> DataFrame:
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cls = _class_expr(org_words, hi)
+    with_cls = toks.withColumn("cls", cls)
+    tag = (
+        F.when(F.col("cls").isNull(), F.lit("O"))
+        .when(
+            ~F.lag("cls").over(w).eqNullSafe(F.col("cls")),
+            F.concat(F.lit("B-"), F.col("cls")),
+        )
+        .otherwise(F.concat(F.lit("I-"), F.col("cls")))
+    )
+    return with_cls.withColumn("tag", tag).select(
+        "doc_id", "pos", "token", "tag"
+    )
+
+
+_TOKS_SQL = """
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY sub) - 1)::BIGINT AS pos,
+         tok AS token
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS sub
+    FROM documents
+  ) WHERE tok <> ''
+"""
+
+
+def _cls_sql(org_words: tuple[str, ...], hi: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in org_words)
+    return (
+        f"CASE WHEN token IN ({inlist}) THEN 'ORG' "
+        f"WHEN substr(token, 1, 1) BETWEEN 'a' AND '{hi}' THEN 'PER' END"
+    )
+
+
+def _spans_sql(org_words: tuple[str, ...], hi: str, name: str) -> str:
+    """CTE chain computing BIO spans for a rule (class-run formulation —
+    independent of the engine's lag/cumsum segmentation)."""
+    return f"""
+  {name}_cls AS (
+    SELECT doc_id, pos, token, {_cls_sql(org_words, hi)} AS cls FROM toks
+  ),
+  {name}_b AS (
+    SELECT *, CASE WHEN cls IS NOT NULL AND (lag(cls) OVER
+      (PARTITION BY doc_id ORDER BY pos) IS DISTINCT FROM cls)
+      THEN 1 ELSE 0 END AS bnd
+    FROM {name}_cls
+  ),
+  {name}_run AS (
+    SELECT *, sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS span_id
+    FROM {name}_b
+  ),
+  {name} AS (
+    SELECT doc_id, min(cls) AS etype,
+           string_agg(token, ' ' ORDER BY pos) AS mention,
+           min(pos)::BIGINT AS b_pos, max(pos)::BIGINT AS e_pos
+    FROM {name}_run WHERE cls IS NOT NULL
+    GROUP BY doc_id, span_id
+  )"""
+
+
+# ===========================================================================
+# entry
+# ===========================================================================
+def _ascii_model():
+    """Planted model: ASCII letters (-> <ENG> after reference
+    normalization) are class PER; everything else O. The correct tagger
+    output is therefore 'every maximal letter run is a PER mention' —
+    exactly expressible as char-run SQL (the tagger oracle)."""
+    word2id = {PAD_TOKEN: 0, ENG_TOKEN: 1, NUM_TOKEN: 2, UNK_TOKEN: 3}
+    weights = build_class_weights(word2id, {ENG_TOKEN: 0}, default_class=3)
+    return weights, word2id
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: documents -> mapInPandas
+    BiLSTM-CRF tagger (broadcast weights) -> mentions -> top mentions."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    weights, word2id = _ascii_model()
+    wb, vb = broadcast_model(spark, weights, word2id)
+    mentions = tag_sentences(
+        docs.select("doc_id", F.col("text").alias("sentence")),
+        wb, vb, id_cols=["doc_id"], chars_col="sentence", emit="mentions",
+    )
+    return (
+        mentions.groupBy("mention", "etype")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "mention")
+        .limit(50)
+    )
+
+
+# ===========================================================================
+# queries
+# ===========================================================================
+def q_ner_tagger_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full neural tagger path (encode -> BiLSTM -> Viterbi -> spans)
+    under the planted letter-run model — oracle = char-run SQL."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    weights, word2id = _ascii_model()
+    wb, vb = broadcast_model(spark, weights, word2id)
+    m = tag_sentences(
+        docs.select("doc_id", F.col("text").alias("sentence")),
+        wb, vb, id_cols=["doc_id"], chars_col="sentence", emit="mentions",
+    )
+    return m.select(
+        "doc_id", "mention", "etype",
+        F.col("begin").cast("bigint").alias("begin"),
+        F.col("end").cast("bigint").alias("end"),
+    )
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("sum_disc_c"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_broadcast_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_c"),
+        )
+    )
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "rank",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        )
+    )
+
+
+def q_filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_discount") > 0.05))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c"),
+        )
+    )
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_c"),
+        )
+    )
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+    )
+
+
+def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — must equal the direct groupBy, so
+    the oracle IS the direct SQL GROUP BY (skew-correctness gate)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_agg(
+        ev, ["event_type"],
+        {"n": ("count", ""), "value_c_sum": ("sum", "value_c"),
+         "v_min": ("min", "value_c"), "v_max": ("max", "value_c")},
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type", F.col("n").cast("bigint"),
+        F.col("value_c_sum").cast("bigint"), "v_min", "v_max",
+    )
+
+
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias("running_c"),
+    )
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-anti shape = the lineage resume filter (committed-exclusion)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(li, "o_orderkey", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_no_items"),
+            F.coalesce(F.min("o_orderkey"), F.lit(-1)).cast("bigint").alias("min_key"),
+        )
+    )
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine sentence splitter over a derived delimiter-rich text
+    (documents carry no terminators, so 'the' is rewritten to '.')."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text2", F.regexp_replace("text", "the", ".")
+    )
+    s = split_sentences(docs, "text2", ["doc_id"])
+    return s.select(
+        "doc_id", F.col("sent_id").cast("bigint"), "sentence"
+    )
+
+
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens(spark, sf_dir).select("doc_id", F.col("pos").cast("bigint"), "token")
+
+
+def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zh_ner_tf_spark.operators.sentences import explode_chars
+
+    return (
+        explode_chars(_docs(spark, sf_dir), "text", ["doc_id"])
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir).withColumn(
+        "gpos", F.col("doc_id") * 100000 + F.col("pos")
+    )
+    v = build_vocab(toks, "token", "gpos", min_count=2, normalize=True)
+    return v.select("token", F.col("id").cast("bigint"), F.col("count").cast("bigint"))
+
+
+def q_bio_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = _rule_tagged(_tokens(spark, sf_dir), GOLD_ORG, GOLD_HI)
+    spans = extract_spans(
+        tagged, ["doc_id"], "pos", "tag", "token", joiner=" "
+    )
+    return spans.select(
+        "doc_id", "etype", "mention",
+        F.col("begin").cast("bigint"), F.col("end").cast("bigint"),
+    )
+
+
+def q_eval_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    gold = _rule_tagged(toks, GOLD_ORG, GOLD_HI).withColumnRenamed("token", "ch")
+    pred = _rule_tagged(toks, PRED_ORG, PRED_HI).withColumnRenamed("token", "ch")
+    return conlleval_prf1(gold, pred, ["doc_id"], "pos", "tag", "ch")
+
+
+def q_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    gold = _rule_tagged(toks, GOLD_ORG, GOLD_HI).select(
+        "doc_id", "pos", F.col("tag").alias("gold_tag")
+    )
+    pred = _rule_tagged(toks, PRED_ORG, PRED_HI).select(
+        "doc_id", "pos", F.col("tag").alias("pred_tag")
+    )
+    return token_accuracy(gold.join(pred, ["doc_id", "pos"]))
+
+
+def q_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER span + immediately following ORG span, connective keyword in
+    the token gap -> (subj, pred, obj)."""
+    toks = _tokens(spark, sf_dir)
+    tagged = _rule_tagged(toks, GOLD_ORG, GOLD_HI)
+    spans = extract_spans(tagged, ["doc_id"], "pos", "tag", "token", joiner=" ")
+    w = Window.partitionBy("doc_id").orderBy("begin")
+    pairs = (
+        spans.withColumn("o_begin", F.lead("begin").over(w))
+        .withColumn("obj", F.lead("mention").over(w))
+        .withColumn("o_type", F.lead("etype").over(w))
+        .filter(
+            (F.col("etype") == "PER")
+            & (F.col("o_type") == "ORG")
+            & F.col("o_begin").isNotNull()
+        )
+        .select(
+            "doc_id", F.col("mention").alias("subj"),
+            F.col("end").alias("s_end"), "o_begin", "obj",
+        )
+    )
+    gap = (
+        pairs.join(
+            toks,
+            (pairs["doc_id"] == toks["doc_id"])
+            & (toks["pos"] > pairs["s_end"])
+            & (toks["pos"] < pairs["o_begin"]),
+            "left",
+        )
+        .drop(toks["doc_id"])
+        .groupBy("doc_id", "subj", "s_end", "o_begin", "obj")
+        .agg(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                        lambda x: x["token"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("gap")
+        )
+    )
+    # first-listed keyword wins: WHEN chain in priority order
+    chain = None
+    for kw, p in _TRIPLE_CASES:
+        cond = F.col("gap").contains(kw)
+        chain = F.when(cond, F.lit(p)) if chain is None else chain.when(cond, F.lit(p))
+    return (
+        gap.withColumn("pred", chain)
+        .filter(F.col("pred").isNotNull())
+        .select(
+            "doc_id", "subj", "pred", "obj",
+            F.col("s_end").cast("bigint"), F.col("o_begin").cast("bigint"),
+        )
+    )
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(word_ngram_hashes(F.col("text"), 3)).alias("signature"),
+    )
+    return add_bands(sig).select(
+        "doc_id", F.col("band_id").cast("bigint"), F.col("band_value").cast("bigint")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zh_ner_tf_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir)).select(
+        "content_hash", F.col("n_dups").cast("bigint"), F.col("keep_id").cast("bigint")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash(F.col("text"), bits=16, n=2).alias("simhash")
+    )
+
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zh_ner_tf_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(F.col("doc_id").alias("src")).withColumn(
+        "dst", F.col("src") + 1
+    ).join(
+        docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+    )
+    return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", n=3).select(
+        F.col("src").cast("bigint"), F.col("dst").cast("bigint"), "jaccard"
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10).select(
+        F.col("query_id").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "cosine",
+        F.col("rank").cast("bigint"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return quality_features(docs).drop("text")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zh_ner_tf_spark.functions.hashing import poly_hash
+
+    docs = _docs(spark, sf_dir)
+    grams = word_ngram_hashes(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        poly_hash(F.col("text")).alias("fingerprint"),
+        F.array_min(grams).alias("min_gram_hash"),
+        F.size(grams).cast("bigint").alias("n_grams"),
+    )
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").cast("bigint").alias("src"),
+        (F.col("s_nationkey").cast("bigint") + 100000).alias("dst"),
+    )
+
+
+def q_cc_one_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _supplier_edges(spark, sf_dir)
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    nbr = sym.join(
+        labels.withColumnRenamed("node", "dst"), "dst"
+    ).select(F.col("src").alias("node"), "label")
+    return (
+        labels.unionByName(nbr)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
+def q_cc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative connected components; on the supplier—nation
+    bipartite graph the fixpoint is expressible in closed form, so even
+    the loop gets an exact oracle."""
+    from zh_ner_tf_spark.operators.components import connected_components
+
+    return connected_components(_supplier_edges(spark, sf_dir)).select(
+        "node", F.col("component").cast("bigint")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ner_tagger_mentions": q_ner_tagger_mentions,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "broadcast_join_dims": q_broadcast_join_dims,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "filter_pushdown_scan": q_filter_pushdown_scan,
+        "orders_by_month": q_orders_by_month,
+        "events_by_type": q_events_by_type,
+        "salted_agg_events": q_salted_agg_events,
+        "running_window": q_running_window,
+        "anti_join_resume": q_anti_join_resume,
+        "sentence_split": q_sentence_split,
+        "tokenize": q_tokenize,
+        "char_frequency": q_char_frequency,
+        "vocab_build": q_vocab_build,
+        "bio_spans": q_bio_spans,
+        "eval_prf1": q_eval_prf1,
+        "token_accuracy": q_token_accuracy,
+        "triples_pattern": q_triples_pattern,
+        "minhash_bands": q_minhash_bands,
+        "dedup_exact": q_dedup_exact,
+        "simhash": q_simhash,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+        "quality_features": q_quality_features,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "cc_one_iteration": q_cc_one_iteration,
+        "cc_full": q_cc_full,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ===========================================================================
+# oracle SQL (DuckDB dialect)
+# ===========================================================================
+def _poly_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT, list_transform("
+        f"string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        f"(a, c) -> (a * 31 + c) % {MINHASH_PRIME})"
+    )
+
+
+_GRAMS3_SQL = """
+  SELECT doc_id, list_distinct([
+    {ph} for g in [array_to_string(l[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(l)-2, 1))]
+  ]) AS ghashes
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+        FROM documents)
+""".format(ph=_poly_sql("g"))
+
+_GRAMS2_SQL = """
+  SELECT doc_id, list_distinct([
+    {ph} for g in [array_to_string(l[i:i+1], ' ')
+                   for i in generate_series(1, greatest(len(l)-1, 1))]
+  ]) AS ghashes
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+        FROM documents)
+""".format(ph=_poly_sql("g"))
+
+
+def _minhash_bands_sql() -> str:
+    fam = hash_family(16, SEED)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(ghashes, h -> ({a}::BIGINT * h + {b}) % {MINHASH_PRIME})) AS s{i}"
+        for i, (a, b) in enumerate(fam)
+    )
+    band_structs = ", ".join(
+        f"{{'band_id': {b}::BIGINT, "
+        f"'band_value': s{2*b} * {MINHASH_PRIME}::BIGINT + s{2*b+1}}}"
+        for b in range(8)
+    )
+    return f"""
+WITH g AS ({_GRAMS3_SQL}),
+sig AS (SELECT doc_id, {sig_exprs} FROM g),
+b AS (SELECT doc_id, unnest([{band_structs}]) AS bv FROM sig)
+SELECT doc_id, bv.band_id AS band_id, bv.band_value AS band_value FROM b
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH g AS ({_GRAMS2_SQL}),
+h AS (SELECT doc_id, unnest(ghashes) AS hv FROM g),
+bits AS (SELECT unnest(generate_series(0, 15)) AS bit),
+v AS (SELECT doc_id, bit,
+        sum(CASE WHEN (hv >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN bits GROUP BY doc_id, bit)
+SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM v GROUP BY doc_id
+"""
+
+
+_LANG_SCORES = {
+    lang: toks
+    for lang, toks in (
+        ("de", ["der", "die", "das", "und"]),
+        ("en", ["the", "and", "of", "with"]),
+        ("es", ["el", "los", "las", "y"]),
+        ("fr", ["le", "la", "les", "et"]),
+    )
+}
+
+
+def _count_tok_sql(tok: str) -> str:
+    return f"(len(string_split(' ' || text || ' ', ' {tok} ')) - 1)"
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: " + ".join(_count_tok_sql(t) for t in toks)
+        for lang, toks in _LANG_SCORES.items()
+    }
+    return f"""
+WITH s AS (
+  SELECT lang,
+         ({score['de']}) AS sde, ({score['en']}) AS sen,
+         ({score['es']}) AS ses, ({score['fr']}) AS sfr,
+         regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE WHEN has_cjk THEN 'zh'
+         WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+         WHEN sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+         WHEN sen >= ses AND sen >= sfr THEN 'en'
+         WHEN ses >= sfr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM s
+)
+SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p GROUP BY lang, lang_pred
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cents = lambda c: f"CAST(round({c} * 100) AS BIGINT)"  # noqa: E731
+    fam_sqls: dict[str, str] = {}
+
+    fam_sqls["ner_tagger_mentions"] = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+ch AS (
+  SELECT doc_id, i - 1 AS pos, substring(text, i, 1) AS c
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        FROM d WHERE length(text) > 0)
+),
+cl AS (SELECT doc_id, pos, c,
+         CASE WHEN regexp_matches(c, '^[A-Za-z]$') THEN 1 ELSE 0 END AS is_l
+       FROM ch),
+b AS (SELECT *, CASE WHEN is_l = 1 AND coalesce(lag(is_l) OVER
+        (PARTITION BY doc_id ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS bnd
+      FROM cl),
+r AS (SELECT *, sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS span_id FROM b)
+SELECT doc_id, string_agg(c, '' ORDER BY pos) AS mention, 'PER' AS etype,
+       min(pos)::BIGINT AS "begin", max(pos)::BIGINT AS "end"
+FROM r WHERE is_l = 1 GROUP BY doc_id, span_id
+"""
+
+    fam_sqls["tpch_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       sum({cents('l_quantity')})::BIGINT AS sum_qty_c,
+       sum({cents('l_extendedprice')})::BIGINT AS sum_base_c,
+       sum({cents('l_extendedprice * (1 - l_discount)')})::BIGINT AS sum_disc_c,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    fam_sqls["broadcast_join_dims"] = f"""
+SELECT r_name, count(*)::BIGINT AS n_customers,
+       sum({cents('c_acctbal')})::BIGINT AS acctbal_c
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    fam_sqls["topk_orders_per_customer"] = f"""
+SELECT o_custkey, o_orderkey, rank, {cents('o_totalprice')} AS price_c
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+    fam_sqls["filter_pushdown_scan"] = f"""
+SELECT l_linestatus, count(*)::BIGINT AS n,
+       sum({cents('l_quantity')})::BIGINT AS qty_c
+FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05
+GROUP BY l_linestatus
+"""
+
+    fam_sqls["orders_by_month"] = f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*)::BIGINT AS n_orders,
+       sum({cents('o_totalprice')})::BIGINT AS total_c
+FROM orders GROUP BY month
+"""
+
+    fam_sqls["events_by_type"] = f"""
+SELECT event_type, count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum({cents('value')})::BIGINT AS value_c
+FROM events GROUP BY event_type
+"""
+
+    fam_sqls["salted_agg_events"] = f"""
+SELECT event_type, count(*)::BIGINT AS n,
+       sum({cents('value')})::BIGINT AS value_c_sum,
+       min({cents('value')})::BIGINT AS v_min,
+       max({cents('value')})::BIGINT AS v_max
+FROM events GROUP BY event_type
+"""
+
+    fam_sqls["running_window"] = f"""
+SELECT event_id, user_id,
+       sum({cents('value')}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS running_c
+FROM events
+"""
+
+    fam_sqls["anti_join_resume"] = """
+SELECT count(*)::BIGINT AS n_orders_no_items,
+       coalesce(min(o_orderkey), -1)::BIGINT AS min_key
+FROM orders WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+    fam_sqls["sentence_split"] = """
+WITH d AS (SELECT doc_id, replace(text, 'the', '.') AS text2 FROM documents),
+seg AS (
+  SELECT doc_id, trim(seg) AS sentence, sub
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text2, '[。！？!?.]')) AS seg,
+               generate_subscripts(regexp_split_to_array(text2, '[。！？!?.]'), 1) AS sub
+        FROM d)
+  WHERE trim(seg) <> ''
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY sub) - 1)::BIGINT AS sent_id,
+       sentence
+FROM seg
+"""
+
+    fam_sqls["tokenize"] = f"WITH toks AS ({_TOKS_SQL}) SELECT doc_id, pos, token FROM toks"
+
+    fam_sqls["char_frequency"] = """
+SELECT substring(text, i, 1) AS ch, count(*)::BIGINT AS n
+FROM (SELECT text, unnest(generate_series(1, length(text))) AS i
+      FROM documents WHERE length(text) > 0)
+GROUP BY ch
+"""
+
+    fam_sqls["vocab_build"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+norm AS (
+  SELECT CASE WHEN regexp_matches(token, '^\\p{{Nd}}+$') THEN '<NUM>'
+              WHEN regexp_matches(token, '^[A-Za-z]$') THEN '<ENG>'
+              ELSE token END AS tok,
+         doc_id * 100000 + pos AS gpos
+  FROM toks
+),
+counted AS (SELECT tok, count(*)::BIGINT AS count, min(gpos) AS fp
+            FROM norm GROUP BY tok),
+kept AS (SELECT * FROM counted
+         WHERE count >= 2 OR tok IN ('<NUM>', '<ENG>')),
+body AS (SELECT tok AS token, row_number() OVER (ORDER BY fp)::BIGINT AS id,
+                count FROM kept)
+SELECT token, id, count FROM body WHERE token NOT IN ('<UNK>', '<PAD>')
+UNION ALL SELECT '<UNK>', (SELECT count(*) FROM body) + 1, 0
+UNION ALL SELECT '<PAD>', 0, 0
+"""
+
+    spans_gold = _spans_sql(GOLD_ORG, GOLD_HI, "gspans")
+    spans_pred = _spans_sql(PRED_ORG, PRED_HI, "pspans")
+
+    fam_sqls["bio_spans"] = f"""
+WITH toks AS ({_TOKS_SQL}),{spans_gold}
+SELECT doc_id, etype, mention, b_pos AS "begin", e_pos AS "end" FROM gspans
+"""
+
+    fam_sqls["eval_prf1"] = f"""
+WITH toks AS ({_TOKS_SQL}),{spans_gold},{spans_pred},
+correct AS (
+  SELECT p.etype, count(*)::BIGINT AS correct
+  FROM pspans p JOIN gspans g
+    ON p.doc_id = g.doc_id AND p.etype = g.etype
+   AND p.b_pos = g.b_pos AND p.e_pos = g.e_pos
+  GROUP BY p.etype),
+guessed AS (SELECT etype, count(*)::BIGINT AS guessed FROM pspans GROUP BY etype),
+golds AS (SELECT etype, count(*)::BIGINT AS gold FROM gspans GROUP BY etype),
+per_type AS (
+  SELECT coalesce(gu.etype, go.etype, c.etype) AS etype,
+         coalesce(guessed, 0) AS guessed, coalesce(gold, 0) AS gold,
+         coalesce(correct, 0) AS correct
+  FROM guessed gu FULL JOIN golds go ON gu.etype = go.etype
+  FULL JOIN correct c ON coalesce(gu.etype, go.etype) = c.etype),
+allrows AS (
+  SELECT * FROM per_type
+  UNION ALL
+  SELECT '__overall__', sum(guessed)::BIGINT, sum(gold)::BIGINT,
+         sum(correct)::BIGINT FROM per_type)
+SELECT etype, guessed, gold, correct,
+  round(CASE WHEN guessed > 0 THEN correct / guessed::DOUBLE ELSE 0 END, 6) AS precision,
+  round(CASE WHEN gold > 0 THEN correct / gold::DOUBLE ELSE 0 END, 6) AS recall,
+  round(CASE WHEN (CASE WHEN guessed > 0 THEN correct / guessed::DOUBLE ELSE 0 END)
+           + (CASE WHEN gold > 0 THEN correct / gold::DOUBLE ELSE 0 END) > 0
+        THEN 2 * (CASE WHEN guessed > 0 THEN correct / guessed::DOUBLE ELSE 0 END)
+               * (CASE WHEN gold > 0 THEN correct / gold::DOUBLE ELSE 0 END)
+             / ((CASE WHEN guessed > 0 THEN correct / guessed::DOUBLE ELSE 0 END)
+              + (CASE WHEN gold > 0 THEN correct / gold::DOUBLE ELSE 0 END))
+        ELSE 0 END, 6) AS f1
+FROM allrows
+"""
+
+    gold_cls = _cls_sql(GOLD_ORG, GOLD_HI)
+    pred_cls = _cls_sql(PRED_ORG, PRED_HI)
+    fam_sqls["token_accuracy"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+t AS (
+  SELECT doc_id, pos,
+    coalesce({gold_cls}, 'O') AS gc, coalesce({pred_cls}, 'O') AS pc,
+    CASE WHEN {gold_cls} IS NULL THEN 'O'
+         WHEN lag({gold_cls}) OVER w IS DISTINCT FROM {gold_cls}
+         THEN 'B-' || {gold_cls} ELSE 'I-' || {gold_cls} END AS gold_tag,
+    CASE WHEN {pred_cls} IS NULL THEN 'O'
+         WHEN lag({pred_cls}) OVER w IS DISTINCT FROM {pred_cls}
+         THEN 'B-' || {pred_cls} ELSE 'I-' || {pred_cls} END AS pred_tag
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+SELECT count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN gold_tag = pred_tag THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       round(avg(CASE WHEN gold_tag = pred_tag THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM t
+"""
+
+    triple_case = (
+        "CASE WHEN gap LIKE '%scan%' THEN 'scans' "
+        "WHEN gap LIKE '%group%' THEN 'groups' "
+        "WHEN gap LIKE '%sort%' THEN 'sorts' END"
+    )
+    fam_sqls["triples_pattern"] = f"""
+WITH toks AS ({_TOKS_SQL}),{spans_gold},
+pairs AS (
+  SELECT doc_id, mention AS subj, etype AS s_type, e_pos AS s_end,
+         lead(b_pos) OVER w AS o_begin, lead(mention) OVER w AS obj,
+         lead(etype) OVER w AS o_type
+  FROM gspans WINDOW w AS (PARTITION BY doc_id ORDER BY b_pos)),
+cand AS (SELECT * FROM pairs
+         WHERE s_type = 'PER' AND o_type = 'ORG' AND o_begin IS NOT NULL),
+gaps AS (
+  SELECT c.doc_id, c.subj, c.obj, c.s_end, c.o_begin,
+         coalesce(string_agg(t.token, ' ' ORDER BY t.pos), '') AS gap
+  FROM cand c LEFT JOIN toks t
+    ON t.doc_id = c.doc_id AND t.pos > c.s_end AND t.pos < c.o_begin
+  GROUP BY c.doc_id, c.subj, c.obj, c.s_end, c.o_begin)
+SELECT doc_id, subj, pred, obj, s_end::BIGINT AS s_end, o_begin::BIGINT AS o_begin
+FROM (SELECT *, {triple_case} AS pred FROM gaps) WHERE pred IS NOT NULL
+"""
+
+    fam_sqls["minhash_bands"] = _minhash_bands_sql()
+
+    fam_sqls["dedup_exact"] = """
+SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
+       min(doc_id)::BIGINT AS keep_id
+FROM documents GROUP BY content_hash
+"""
+
+    fam_sqls["simhash"] = _simhash_sql()
+
+    fam_sqls["ngram_jaccard_adjacent"] = f"""
+WITH g AS ({_GRAMS3_SQL}),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, a.ghashes AS ga, b.ghashes AS gb
+  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
+SELECT src::BIGINT AS src, dst::BIGINT AS dst,
+       round(len(list_intersect(ga, gb))::DOUBLE /
+             (len(ga) + len(gb) - len(list_intersect(ga, gb)))::DOUBLE, 6) AS jaccard
+FROM pairs
+"""
+
+    fam_sqls["embedding_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q CROSS JOIN c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cosine, rank
+FROM ranked WHERE rank <= 10
+"""
+
+    fam_sqls["lang_id"] = _lang_id_sql()
+
+    stop_hits = " + ".join(_count_tok_sql(t) for t in ("the", "a", "of", "and"))
+    fam_sqls["quality_features"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         length(text)::BIGINT AS n_chars_m,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+         ({stop_hits})::BIGINT AS stop_hits,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s一-鿿]'))::BIGINT AS punct
+  FROM documents),
+feat AS (
+  SELECT *,
+    CASE WHEN n_tokens > 0 THEN n_chars_m / n_tokens::DOUBLE ELSE 0.0 END AS avg_tok,
+    CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0 END AS stop_r,
+    CASE WHEN n_chars_m > 0 THEN punct / n_chars_m::DOUBLE ELSE 0.0 END AS punct_r
+  FROM base)
+SELECT doc_id, n_chars_m, n_tokens,
+       round(avg_tok, 6) AS avg_token_len,
+       round(stop_r, 6) AS stopword_ratio,
+       round(punct_r, 6) AS punct_ratio,
+       round(
+         (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN avg_tok >= 2.0 AND avg_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN stop_r >= 0.05 THEN 0.2 ELSE 0.0 END)
+       + (CASE WHEN punct_r <= 0.2 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+FROM feat
+"""
+
+    fam_sqls["token_counts"] = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))::BIGINT AS n_ws,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe
+FROM documents
+"""
+
+    fam_sqls["doc_fingerprint"] = f"""
+WITH g AS ({_GRAMS3_SQL})
+SELECT d.doc_id, {_poly_sql('d.text')} AS fingerprint,
+       list_min(g.ghashes) AS min_gram_hash,
+       len(g.ghashes)::BIGINT AS n_grams
+FROM documents d JOIN g ON d.doc_id = g.doc_id
+"""
+
+    fam_sqls["cc_one_iteration"] = """
+WITH e AS (SELECT s_suppkey::BIGINT AS src,
+                  (s_nationkey::BIGINT + 100000) AS dst FROM supplier),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM sym)
+SELECT n.node, least(n.node, min(s.dst)) AS label
+FROM nodes n JOIN sym s ON s.src = n.node
+GROUP BY n.node
+"""
+
+    fam_sqls["cc_full"] = """
+WITH mn AS (SELECT s_nationkey, min(s_suppkey)::BIGINT AS m
+            FROM supplier GROUP BY s_nationkey)
+SELECT s_suppkey::BIGINT AS node, m AS component
+FROM supplier JOIN mn USING (s_nationkey)
+UNION ALL
+SELECT (s_nationkey::BIGINT + 100000) AS node, min(s_suppkey)::BIGINT AS component
+FROM supplier GROUP BY s_nationkey
+"""
+
+    return fam_sqls

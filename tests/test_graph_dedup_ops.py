@@ -1,0 +1,216 @@
+"""Blocking, connected components, dedup, similarity, skew, lineage —
+correctness vs sequential Python oracles (union-find, brute force)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.operators.blocking import block_entities
+from zh_ner_tf_spark.operators.components import connected_components
+from zh_ner_tf_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from zh_ner_tf_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    lsh_candidates,
+)
+from zh_ner_tf_spark.operators.skew import hot_key_census, salted_agg
+
+
+# ---------------------------------------------------------------- helpers
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _shingles(s, k=2):
+    if len(s) < k:
+        return {s}
+    return {s[i: i + k] for i in range(len(s) - k + 1)}
+
+
+def _jac(a, b):
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------- tests
+def test_connected_components_matches_union_find(spark):
+    rng = np.random.RandomState(42)
+    n = 200
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(300, 2)) if a != b]
+    # include a long path (worst case for propagation depth)
+    edges += [(1000 + i, 1000 + i + 1) for i in range(30)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    nodes = {x for e in edges for x in e}
+    want = _union_find(nodes, edges)
+    # canonical labels: min node id per component in both
+    assert got == want
+
+
+def test_blocking_finds_near_duplicate_surfaces(spark):
+    surfaces = [
+        (1, "阿里巴巴集团"), (2, "阿里巴巴集团公司"),   # near dup
+        (3, "腾讯控股"), (4, "腾讯控股有限"),           # near dup
+        (5, "完全不同的东西"), (6, "东风汽车"),
+        (7, "阿里巴巴集团"),                            # exact dup of 1
+    ]
+    df = spark.createDataFrame(surfaces, "entity_id int, surface string")
+    pairs = {(r["src"], r["dst"]): r["jaccard"] for r in block_entities(df, threshold=0.5).collect()}
+    # exact dups collapse pre-banding (min id kept), so (1,7) never appears
+    assert (1, 7) not in pairs
+    assert (1, 2) in pairs and abs(
+        pairs[(1, 2)] - round(_jac(_shingles("阿里巴巴集团"), _shingles("阿里巴巴集团公司")), 6)
+    ) < 1e-9
+    assert (3, 4) in pairs
+    assert all(src != 5 and dst != 5 for src, dst in pairs)
+
+
+def test_minhash_vs_exact_jaccard_recall(spark):
+    # LSH candidates must contain every pair with high true Jaccard
+    rng = np.random.RandomState(7)
+    base = "spark catalyst tungsten arrow shuffle partition broadcast"
+    docs = []
+    for i in range(30):
+        words = base.split()
+        if i % 3 == 0:
+            words = words + [f"x{i}"]          # near-dups of base
+        else:
+            words = [f"w{i}_{j}" for j in range(8)]  # distinct
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got_pairs = {(r["src"], r["dst"]) for r in minhash_near_dups(df, threshold=0.5).collect()}
+    want_pairs = set()
+    for (i, a), (j, b) in itertools.combinations(docs, 2):
+        if _jac(_shingles(a), _shingles(b)) >= 0.5 and a != b:
+            want_pairs.add((min(i, j), max(i, j)))
+    # every wanted pair found (bands are generous at 16 hashes / 8 bands)
+    assert want_pairs <= got_pairs
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb"), (6, "aaa")],
+        "doc_id int, text string",
+    )
+    groups = {r["content_hash"]: (r["n_dups"], r["keep_id"]) for r in exact_dup_groups(df).collect()}
+    assert sorted(groups.values()) == [(1, 4), (2, 2), (3, 1)]
+    kept = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert kept == [1, 2, 4]
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u")],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "src int, dst int")
+    got = {(r["src"], r["dst"]): r["jaccard"] for r in ngram_jaccard_pairs(df, pairs).collect()}
+    # trigrams of 1: {abc,bcd,cde}; of 2: {abc,bcd,cdx} -> jac 2/4
+    assert abs(got[(1, 2)] - 0.5) < 1e-9
+    assert got[(1, 3)] == 0.0
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "entirely unrelated words here now")],
+        "doc_id int, text string",
+    )
+    groups = simhash_groups(df)
+    m = {r["simhash"]: r["n_docs"] for r in groups.collect()}
+    assert sorted(m.values()) == [1, 2]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.RandomState(42)
+    corpus = rng.normal(size=(50, 16)).astype(np.float32)
+    queries = rng.normal(size=(3, 16)).astype(np.float32)
+    cdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(corpus)], "vec_id int, embedding array<float>"
+    )
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(queries)], "query_id int, embedding array<float>"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(cdf, qdf, k=5).collect()
+    }
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    sims = np.round((qn.astype(np.float64) @ cn.astype(np.float64).T), 6)
+    for qi in range(3):
+        order = sorted(range(50), key=lambda c: (-sims[qi, c], c))[:5]
+        for rank, cid in enumerate(order, start=1):
+            assert got[(qi, rank)] == cid, (qi, rank)
+
+
+def test_ann_topk_is_subset_ranked_consistently(spark):
+    rng = np.random.RandomState(1)
+    corpus = rng.normal(size=(80, 16)).astype(np.float32)
+    cdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(corpus)], "vec_id int, embedding array<float>"
+    )
+    qdf = spark.createDataFrame(
+        [(0, corpus[7].tolist())], "query_id int, embedding array<float>"
+    )
+    got = ann_topk(cdf, qdf, k=3).collect()
+    # the query IS corpus vec 7 -> its own bucket always contains it, rank 1
+    assert got[0]["vec_id"] == 7 and abs(got[0]["cosine"] - 1.0) < 1e-6
+    cands = {r["vec_id"] for r in got}
+    assert len(cands) <= 3
+
+
+def test_lsh_candidates_self_similarity(spark):
+    rng = np.random.RandomState(3)
+    v = rng.normal(size=16).astype(np.float32)
+    rows = [(0, v.tolist()), (1, v.tolist()), (2, (-v).tolist())]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = {(r["src"], r["dst"]) for r in lsh_candidates(df).collect()}
+    assert (0, 1) in pairs          # identical vectors share all bands
+    assert (0, 2) not in pairs      # antipodal vectors share no band
+
+
+def test_salted_agg_equals_direct_groupby(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in salted_agg(
+            df, ["event_type"], {"n": ("count", ""), "mx": ("max", "value")}
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_hot_key_census(spark):
+    rows = [("hot", i) for i in range(1000)] + [(f"cold{i}", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    hot = [r["k"] for r in hot_key_census(df, ["k"], factor=16).collect()]
+    assert hot == ["hot"]

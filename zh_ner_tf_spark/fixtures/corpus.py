@@ -87,67 +87,16 @@ def planted_weights(word2id: dict[str, int]) -> dict:
     """Hand-constructed weights that make the BiLSTM-CRF a WORKING tagger
     over the fixture char pools (PER/LOC/ORG inventories above).
 
-    Construction: embeddings one-hot a 4-way char class; the LSTM kernel
-    routes class k to i/j gate k with the forget gate biased hard off and
-    the output gate hard on, so h_t ≈ tanh(1)·onehot(class(x_t)) — a
-    per-position class detector realized THROUGH the exact TF-1.x cell
-    semantics (forget_bias, gate order and all). The projection maps class
-    k to equal B-X/I-X logits and the CRF transitions impose BIO
-    structure (O→I-X forbidden), so Viterbi emits well-formed spans over
-    planted entities. Used by the E2E triple-recall gate; parity tests
-    use random seeded weights instead (harder case: near-tie margins).
+    Delegates to ``model.weights.build_class_weights`` with the fixture
+    entity pools as the char-class map. Used by the E2E triple-recall
+    gate; parity tests use random seeded weights instead (the harder
+    case: near-tie margins).
     """
-    import numpy as np
+    from zh_ner_tf_spark.model.weights import build_class_weights
 
-    from zh_ner_tf_spark.config import NUM_TAGS, TAG2LABEL
-
-    D, H = 8, 8
-    V = max(word2id.values()) + 1
     class_of_char: dict[str, int] = {}
     for k, etype in enumerate(("PER", "LOC", "ORG")):
         for surface in ENTITY_POOL[etype]:
             for ch in surface:
                 class_of_char[ch] = k
-    emb = np.zeros((V, D), dtype=np.float32)
-    for tok, idx in word2id.items():
-        cls = class_of_char.get(tok, 3)
-        emb[idx, cls] = 1.0
-
-    def kernel_bias():
-        k = np.zeros((D + H, 4 * H), dtype=np.float32)
-        b = np.zeros(4 * H, dtype=np.float32)
-        for cls in range(4):
-            k[cls, cls] = 10.0          # x -> i gate
-            k[cls, H + cls] = 10.0      # x -> j gate
-        b[2 * H: 3 * H] = -20.0         # forget gate off (plus forget_bias)
-        b[3 * H: 4 * H] = 20.0          # output gate on
-        return k, b
-
-    kf, bf = kernel_bias()
-    kb, bb = kernel_bias()
-    proj = np.zeros((2 * H, NUM_TAGS), dtype=np.float32)
-    amp = 8.0
-    for cls, etype in enumerate(("PER", "LOC", "ORG")):
-        for prefix in ("B-", "I-"):
-            t = TAG2LABEL[f"{prefix}{etype}"]
-            proj[cls, t] = amp
-            proj[H + cls, t] = amp
-    proj[3, TAG2LABEL["O"]] = amp
-    proj[H + 3, TAG2LABEL["O"]] = amp
-
-    trans = np.full((NUM_TAGS, NUM_TAGS), -1.0, dtype=np.float32)
-    O = TAG2LABEL["O"]
-    trans[:, O] = 1.0
-    for etype in ("PER", "LOC", "ORG"):
-        b_t, i_t = TAG2LABEL[f"B-{etype}"], TAG2LABEL[f"I-{etype}"]
-        trans[:, b_t] = 0.5              # B-X reachable from anything
-        trans[:, i_t] = -8.0             # I-X forbidden by default...
-        trans[b_t, i_t] = 2.0            # ...except continuing a span
-        trans[i_t, i_t] = 2.0
-    return {
-        "embeddings": emb,
-        "lstm_fw_kernel": kf, "lstm_fw_bias": bf,
-        "lstm_bw_kernel": kb, "lstm_bw_bias": bb,
-        "proj_W": proj, "proj_b": np.zeros(NUM_TAGS, dtype=np.float32),
-        "transitions": trans,
-    }
+    return build_class_weights(word2id, class_of_char)
