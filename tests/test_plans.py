@@ -1,0 +1,110 @@
+"""Physical-plan assertions (SURVEY.md §4.2): predicate pushdown into the
+parquet scan, column pruning, broadcast joins for dims, whole-stage
+codegen on relational stages, and no shuffle in the narrow fan-out path."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from zh_ner_tf_spark.operators.sentences import split_sentences, tokenize
+from zh_ner_tf_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    # ReadSchema carries only the projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dim_join_is_broadcast(spark):
+    cust = load_table(spark, SF, "customer")
+    nat = load_table(spark, SF, "nation")
+    q = cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_dim_auto_broadcast(spark):
+    # nation is 25 rows — Catalyst must pick broadcast WITHOUT a hint
+    cust = load_table(spark, SF, "customer")
+    nat = load_table(spark, SF, "nation")
+    plan = _plan(cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_is_whole_stage_codegen_with_partial(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    q.collect()  # AQE finalizes the plan on execution
+    plan = _plan(q)
+    # codegen shows as WholeStageCodegen nodes or "*(n)" stage markers
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan
+    # partial + final hash aggregate pair (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sentence_fanout_has_no_shuffle(spark):
+    docs = load_table(spark, SF, "documents")
+    q = tokenize(split_sentences(docs, "text", ["doc_id"]), "sentence",
+                 ["doc_id", "sent_id"])
+    plan = _plan(q)
+    assert "Exchange" not in plan, "narrow fan-out must not shuffle"
+
+
+def test_html_column_pruned_when_unused(spark, tmp_path):
+    # write a pages-shaped parquet; a text-only pipeline must not read html
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, pages_schema
+
+    rows = gen_pages(50, seed=42)
+    p = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=pages_schema(),
+    ).write.parquet(p)
+    pages = spark.read.parquet(p)
+    q = pages.filter(F.col("lang") == "zh").select("url", "text")
+    plan = _plan(q)
+    assert "html" not in plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,zh)" in plan
+
+
+def test_triples_pattern_join_is_broadcast(spark):
+    import pandas as pd
+
+    from zh_ner_tf_spark.operators.triples import extract_triples
+
+    mentions = spark.createDataFrame(
+        pd.DataFrame({
+            "url": ["u", "u"], "sent_id": [0, 0], "mention": ["x", "y"],
+            "etype": ["PER", "ORG"], "begin": [0, 3], "end": [0, 3],
+        })
+    )
+    sentences = spark.createDataFrame(
+        pd.DataFrame({"url": ["u"], "sent_id": [0], "sentence": ["x任职y"]})
+    )
+    q = extract_triples(mentions, sentences, ["url", "sent_id"])
+    plan = _plan(q)
+    # the ~6-row pattern table must ride a broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    rows = q.collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [("x", "works_for", "y")]

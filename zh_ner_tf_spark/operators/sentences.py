@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from zh_ner_tf_spark.config import SENTENCE_SPLIT_REGEX
 
@@ -27,16 +26,16 @@ def split_sentences(
     starts with a delimiter still gets sent_id 0 for its first sentence).
     """
     id_cols = id_cols or ["doc_id"]
-    parts = F.split(F.col(text_col), delim_regex)
-    exploded = df.select(
-        *id_cols, F.posexplode(parts).alias("seg_pos", "sentence")
-    ).withColumn("sentence", F.trim("sentence"))
-    exploded = exploded.filter(F.col("sentence") != "")
-    w = Window.partitionBy(*id_cols).orderBy("seg_pos")
-    return (
-        exploded.withColumn("sent_id", (F.row_number().over(w) - 1).cast("int"))
-        .drop("seg_pos")
+    # Filter/trim INSIDE the array before posexplode: the explode index is
+    # then already the dense sent_id — zero shuffle, pure narrow codegen
+    # (a row_number window here would shuffle the whole sentence stream).
+    parts = F.filter(
+        F.transform(F.split(F.col(text_col), delim_regex), lambda s: F.trim(s)),
+        lambda s: s != "",
     )
+    return df.select(
+        *id_cols, F.posexplode(parts).alias("sent_id", "sentence")
+    ).withColumn("sent_id", F.col("sent_id").cast("int"))
 
 
 def tokenize(
@@ -51,14 +50,10 @@ def tokenize(
     ``text.split()`` semantics for single-space separators.
     """
     id_cols = id_cols or ["doc_id"]
-    exploded = df.select(
-        *id_cols, F.posexplode(F.split(F.col(text_col), sep)).alias("raw_pos", "token")
-    ).filter(F.col("token") != "")
-    w = Window.partitionBy(*id_cols).orderBy("raw_pos")
-    return (
-        exploded.withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
-        .drop("raw_pos")
-    )
+    toks = F.filter(F.split(F.col(text_col), sep), lambda t: t != "")
+    return df.select(
+        *id_cols, F.posexplode(toks).alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("int"))
 
 
 def explode_chars(

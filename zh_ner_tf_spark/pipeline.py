@@ -33,6 +33,7 @@ def pages_to_mentions(
     weights_bc,
     vocab_bc,
     lang: str | None = "zh",
+    dtype=None,
 ) -> tuple[DataFrame, DataFrame]:
     """pages -> (sentences, mentions). Returns sentences too because the
     triple extractor needs the sentence text for connective matching."""
@@ -47,6 +48,8 @@ def pages_to_mentions(
     # cutting wasted GEMM work in the tagger (SURVEY.md §4.2). Narrow op —
     # sorts within partitions only, no shuffle.
     sentences = sentences.sortWithinPartitions(F.length("sentence"))
+    import numpy as np
+
     mentions = tag_sentences(
         sentences,
         weights_bc,
@@ -54,6 +57,7 @@ def pages_to_mentions(
         id_cols=["url", "sent_id"],
         chars_col="sentence",
         emit="mentions",
+        dtype=dtype or np.float64,
     )
     return sentences, mentions
 
@@ -113,9 +117,10 @@ def run_pipeline(
     weights,
     word2id,
     lang: str | None = "zh",
+    dtype=None,
 ) -> dict[str, DataFrame]:
     wb, vb = broadcast_model(spark, weights, word2id)
-    sentences, mentions = pages_to_mentions(pages, wb, vb, lang)
+    sentences, mentions = pages_to_mentions(pages, wb, vb, lang, dtype)
     triples, nodes, edges = mentions_to_graph(mentions, sentences)
     return {
         "sentences": sentences,
