@@ -67,6 +67,22 @@ def _lstm_batch(
     h = np.zeros((B, H), dtype=dtype)
     c = np.zeros((B, H), dtype=dtype)
     out = np.zeros((B, T, H), dtype=dtype)
+    if B > 1 and np.all(lens[:-1] >= lens[1:]):
+        # Packed-sequence fast path: rows sorted by length descending, so
+        # the active rows at step t are the prefix [0:k]. Slicing replaces
+        # masking — compute is exactly sum(lens) steps, zero pad waste.
+        neg = -lens
+        for t in range(T):
+            # k = number of rows with len >= t+1 (still active at step t)
+            k = int(np.searchsorted(neg, -(t + 1), side="right"))
+            if k == 0:
+                break
+            z = x[:k, t, :] @ k_x + h[:k] @ k_h + bias
+            i, j, f, o = np.split(z, 4, axis=1)
+            c[:k] = c[:k] * _sigmoid(f + FORGET_BIAS) + _sigmoid(i) * np.tanh(j)
+            h[:k] = np.tanh(c[:k]) * _sigmoid(o)
+            out[:k, t, :] = h[:k]
+        return out
     for t in range(T):
         z = x[:, t, :] @ k_x + h @ k_h + bias
         i, j, f, o = np.split(z, 4, axis=1)
@@ -81,12 +97,14 @@ def _lstm_batch(
 
 def _reverse_sequence(x: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """tf.reverse_sequence: reverse each row's first len elements, keep
-    padding in place."""
-    B, T = x.shape[0], x.shape[1]
-    t_idx = np.arange(T)[None, :]
-    rev = lens[:, None] - 1 - t_idx
-    gather = np.where(t_idx < lens[:, None], rev, t_idx)
-    return x[np.arange(B)[:, None], gather]
+    padding in place. Per-row contiguous slice-reversals (memcpy speed)
+    beat a broadcast fancy-index gather ~5x on [B, T, D] inputs."""
+    out = x.copy()
+    for b in range(x.shape[0]):
+        n = int(lens[b])
+        if n > 0:
+            out[b, :n] = x[b, n - 1::-1]
+    return out
 
 
 def batch_logits(
@@ -108,8 +126,15 @@ def batch_logits(
     bw = _lstm_batch(bw_in, lens, W["lstm_bw_kernel"].astype(dtype),
                      W["lstm_bw_bias"].astype(dtype))
     bw = _reverse_sequence(bw, lens)
-    out = np.concatenate([fw, bw], axis=2)
-    return out @ W["proj_W"].astype(dtype) + W["proj_b"].astype(dtype)
+    B, T, H = fw.shape
+    # Projection as two 2-D GEMMs (proj_W is row-partitioned over the
+    # fw/bw halves) — avoids both the [B,T,2H] concat buffer and the slow
+    # strided-gufunc 3-D matmul path.
+    proj = W["proj_W"].astype(dtype)
+    flat = fw.reshape(B * T, H) @ proj[:H]
+    flat += bw.reshape(B * T, H) @ proj[H:]
+    flat += W["proj_b"].astype(dtype)
+    return flat.reshape(B, T, -1)
 
 
 def viterbi_batch(
@@ -207,10 +232,20 @@ def spans_from_labels(
 # --------------------------------------------------------------------------
 # the mapInPandas operator
 # --------------------------------------------------------------------------
+# Rows per numeric sub-batch. Within an Arrow batch, rows are processed
+# in length-sorted chunks of this size: each chunk pads only to its OWN
+# max length (the reference's dynamic per-batch padding, data.py:≈110-122,
+# made skew-proof), and the GEMM batch dimension stays large enough to be
+# efficient. Output is scattered back to original row order — per-row
+# results are padding/batching-invariant, so this is a pure optimization.
+CHUNK_ROWS = 256
+
+
 def _run_batch(
     pdf: pd.DataFrame, chars_col: str, W: dict, vocab: dict, dtype=np.float64
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
-    """Shared per-batch path: encode -> pad -> logits -> viterbi."""
+    """Shared per-batch path: encode -> length-sorted chunked pad ->
+    logits -> viterbi, results in original row order."""
     seqs = pdf[chars_col]
     if len(seqs) and isinstance(seqs.iloc[0], str):
         seqs = seqs.map(list)
@@ -221,17 +256,22 @@ def _run_batch(
     seqs, lens = seqs[keep], lens[keep]
     if len(seqs) == 0:
         return np.zeros((0, 0), np.int32), lens, np.array([], object), keep
-    flat = pd.Series(
-        [c for s in seqs for c in s], dtype=object
-    )
+    flat = pd.Series([c for s in seqs for c in s], dtype=object)
     ids_flat = encode_chars(flat, vocab)
     B, Tmax = len(seqs), int(lens.max())
-    ids = np.zeros((B, Tmax), dtype=np.int64)   # <PAD>=0 (pad_mark=0)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    for b in range(B):  # cheap slice-assign loop, O(B) not O(N)
-        ids[b, : lens[b]] = ids_flat[offs[b]: offs[b + 1]]
-    logits = batch_logits(ids, lens, W, dtype=dtype)
-    labels = viterbi_batch(logits, lens, W["transitions"])
+    labels = np.zeros((B, Tmax), dtype=np.int32)
+    order = np.argsort(-lens, kind="stable")  # descending: packed fast path
+    for s in range(0, B, CHUNK_ROWS):
+        rows = order[s: s + CHUNK_ROWS]
+        c_lens = lens[rows]
+        c_T = int(c_lens.max())
+        ids = np.zeros((len(rows), c_T), dtype=np.int64)  # <PAD>=0
+        for i, b in enumerate(rows):
+            ids[i, : lens[b]] = ids_flat[offs[b]: offs[b + 1]]
+        logits = batch_logits(ids, c_lens, W, dtype=dtype)
+        c_labels = viterbi_batch(logits, c_lens, W["transitions"])
+        labels[rows, :c_T] = c_labels
     return labels, lens, flat.to_numpy(), keep
 
 
