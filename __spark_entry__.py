@@ -435,12 +435,9 @@ def q_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    sig = docs.select(
-        "doc_id",
-        minhash_signature(word_ngram_hashes(F.col("text"), 3)).alias("signature"),
-    )
-    return add_bands(sig).select(
+    from zh_ner_tf_spark.operators.blocking import minhash_bands_table
+
+    return minhash_bands_table(_docs(spark, sf_dir), "doc_id", "text", k=3).select(
         "doc_id", F.col("band_id").cast("bigint"), F.col("band_value").cast("bigint")
     )
 
@@ -454,9 +451,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash(F.col("text"), bits=16, n=2).alias("simhash")
-    )
+    from zh_ner_tf_spark.operators.dedup import simhash_table
+
+    return simhash_table(_docs(spark, sf_dir), "doc_id", "text", bits=16, n=2)
 
 
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,23 +599,32 @@ def _poly_sql(expr: str) -> str:
     )
 
 
-_GRAMS3_SQL = """
-  SELECT doc_id, list_distinct([
-    {ph} for g in [array_to_string(l[i:i+2], ' ')
-                   for i in generate_series(1, greatest(len(l)-2, 1))]
-  ]) AS ghashes
-  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
-        FROM documents)
-""".format(ph=_poly_sql("g"))
+# gram hash = fold (acc*31 + token_hash) mod P over n token hashes
+# (token hash = polynomial char hash); docs shorter than n tokens hash
+# as one whole-token-list fold — mirrors dedup.word_ngram_hashes.
+_TH_SQL = (
+    "list_transform(list_filter(string_split(text, ' '), t -> t <> ''), "
+    "tok -> " + _poly_sql("tok") + ")"
+)
 
-_GRAMS2_SQL = """
-  SELECT doc_id, list_distinct([
-    {ph} for g in [array_to_string(l[i:i+1], ' ')
-                   for i in generate_series(1, greatest(len(l)-1, 1))]
-  ]) AS ghashes
-  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
-        FROM documents)
-""".format(ph=_poly_sql("g"))
+
+def _grams_sql(n: int) -> str:
+    combine = "th[i]"
+    for k in range(1, n):
+        combine = f"(({combine}) * 31 + th[i+{k}]) % {MINHASH_PRIME}"
+    return f"""
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(th) >= {n}
+      THEN [{combine} for i in generate_series(1, len(th) - {n - 1})]
+      ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                        (a, h) -> (a * 31 + h) % {MINHASH_PRIME})]
+    END) AS ghashes
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM documents)
+"""
+
+
+_GRAMS3_SQL = _grams_sql(3)
+_GRAMS2_SQL = _grams_sql(2)
 
 
 def _minhash_bands_sql() -> str:

@@ -94,3 +94,18 @@ def test_tagger_accepts_sentence_strings(spark, tiny_model):
     )
     want = {i: tag_sentence(list(s), word2id, weights) for i, s in enumerate(sents)}
     assert got == want
+
+
+def test_tagger_argmax_decode_matches_oracle(spark, tiny_model):
+    # operator #15: the reference's CRF=False branch (per-timestep argmax)
+    corpus, word2id, weights = tiny_model
+    corpus = corpus[:40]
+    wb, vb = broadcast_model(spark, weights, word2id)
+    got = _collect_tags(
+        tag_sentences(_corpus_df(spark, corpus), wb, vb, ["doc_id"], use_crf=False)
+    )
+    want = {
+        i: tag_sentence(chars, word2id, weights, use_crf=False)
+        for i, (chars, _) in enumerate(corpus)
+    }
+    assert got == want

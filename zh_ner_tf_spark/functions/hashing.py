@@ -47,6 +47,29 @@ def poly_hash_sql(expr: str) -> str:
     )
 
 
+def token_hashes(tokens_col: Column) -> Column:
+    """array<string> tokens -> array<bigint> polynomial char hashes.
+    One small fold per token; word n-gram hashes then COMBINE these
+    (h = fold (acc*31 + th_i) mod P) instead of re-folding the gram
+    string char by char — ~10x less higher-order-function churn."""
+    return F.transform(
+        tokens_col,
+        lambda tok: F.aggregate(
+            F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % MINHASH_PRIME,
+        ),
+    )
+
+
+def combine_hashes(*hs: Column) -> Column:
+    """Fold token hashes into a gram hash: (((0*31+h1)%P)*31+h2)%P ..."""
+    acc = F.lit(0).cast("bigint")
+    for h in hs:
+        acc = (acc * 31 + h) % MINHASH_PRIME
+    return acc
+
+
 def hash_family(n: int = MINHASH_NUM_HASHES, seed: int = SEED) -> list[tuple[int, int]]:
     """n seeded (a, b) pairs, a in [1, P), b in [0, P)."""
     rng = random.Random(seed)

@@ -91,6 +91,42 @@ def add_bands(
     ).select("*", "band.band_id", "band.band_value").drop("band")
 
 
+def minhash_bands_table(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = MINHASH_NUM_HASHES,
+    n_bands: int = MINHASH_BANDS,
+    seed: int = SEED,
+) -> DataFrame:
+    """(key, band_id, band_value) over word-k-gram shingles via exploded
+    gram rows + one hash aggregate of n_hashes min-expressions — the
+    document-scale LSH signature path (codegen'd aggregates, no per-array
+    lambda folds)."""
+    from zh_ner_tf_spark.operators.dedup import ngram_hash_rows
+
+    fam = hash_family(n_hashes, seed)
+    rows = ngram_hash_rows(df, key_col, text_col, k)
+    mins = [
+        F.min((F.lit(a) * F.col("gh") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(fam)
+    ]
+    sig = rows.groupBy("_k").agg(*mins)
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        v = F.lit(0).cast("bigint")
+        for r in range(rows_per_band):
+            v = v * MINHASH_PRIME + F.col(f"s{b * rows_per_band + r}")
+        bands.append(
+            F.struct(F.lit(b).cast("bigint").alias("band_id"), v.alias("band_value"))
+        )
+    return sig.select(
+        F.col("_k").alias(key_col), F.explode(F.array(*bands)).alias("bv")
+    ).select(key_col, "bv.band_id", "bv.band_value")
+
+
 def block_entities(
     entities: DataFrame,
     key_col: str = "entity_id",

@@ -53,23 +53,80 @@ def dedup_exact(
 
 
 def word_ngram_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct polynomial hashes of word n-grams (whitespace tokens)."""
+    """Distinct hashes of word n-grams (whitespace tokens).
+
+    Frozen definition: gram hash = fold (acc*31 + token_hash) mod P over
+    the n token hashes (token hash = polynomial char hash). Documents
+    shorter than n tokens hash as one whole-document gram. Token-hash
+    combination avoids building gram strings and re-folding their chars
+    — the dominant cost of the naive formulation.
+    """
+    from zh_ner_tf_spark.functions.hashing import token_hashes
+
     toks = F.filter(F.split(text, " "), lambda t: t != "")
-    cnt = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
-    grams = F.transform(
-        starts,
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    th = token_hashes(toks)
+    cnt = F.size(th)
+    full = F.transform(
+        F.sequence(F.lit(1), cnt - n + 1),
+        lambda i: _combine_slice(th, i, n),
     )
-    hashes = F.transform(
-        grams,
-        lambda g: F.aggregate(
-            F.transform(F.split(g, ""), lambda c: F.ascii(c).cast("bigint")),
+    short = F.array(
+        F.aggregate(
+            th,
             F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x) % MINHASH_PRIME,
-        ),
+            lambda acc, h: (acc * 31 + h) % MINHASH_PRIME,
+        )
     )
-    return F.array_distinct(hashes)
+    return F.array_distinct(F.when(cnt >= n, full).otherwise(short))
+
+
+def _combine_slice(th: Column, i, n: int) -> Column:
+    acc = F.lit(0).cast("bigint")
+    for k in range(n):
+        acc = (acc * 31 + F.element_at(th, i + k)) % MINHASH_PRIME
+    return acc
+
+
+def ngram_hash_rows(
+    df: DataFrame, key_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(key, gh) rows: distinct word-n-gram hashes, exploded. The row
+    shape lets downstream sketches (simhash votes, minhash mins) run as
+    plain codegen'd aggregates instead of per-array lambda folds."""
+    return df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gh"),
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    n: int = 2,
+) -> DataFrame:
+    """(key, simhash) via exploded gram rows + one hash aggregate with
+    per-bit majority votes — equivalent to ``simhash`` but scales as a
+    groupBy, not as nested array lambdas."""
+    rows = ngram_hash_rows(df, key_col, text_col, n)
+    votes = [
+        F.sum(
+            F.when(F.shiftright("gh", b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = rows.groupBy("_k").agg(*votes)
+    val = sum(
+        (
+            F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(bits)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return agg.select(F.col("_k").alias(key_col), val.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -242,7 +242,8 @@ CHUNK_ROWS = 256
 
 
 def _run_batch(
-    pdf: pd.DataFrame, chars_col: str, W: dict, vocab: dict, dtype=np.float64
+    pdf: pd.DataFrame, chars_col: str, W: dict, vocab: dict, dtype=np.float64,
+    use_crf: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
     """Shared per-batch path: encode -> length-sorted chunked pad ->
     logits -> viterbi, results in original row order."""
@@ -270,20 +271,26 @@ def _run_batch(
         for i, b in enumerate(rows):
             ids[i, : lens[b]] = ids_flat[offs[b]: offs[b + 1]]
         logits = batch_logits(ids, c_lens, W, dtype=dtype)
-        c_labels = viterbi_batch(logits, c_lens, W["transitions"])
+        if use_crf:
+            c_labels = viterbi_batch(logits, c_lens, W["transitions"])
+        else:
+            # operator #15: per-timestep argmax (reference CRF=False
+            # branch, model.py:≈97-100 softmax_pred_op [R])
+            c_labels = logits.argmax(axis=-1).astype(np.int32)
         labels[rows, :c_T] = c_labels
     return labels, lens, flat.to_numpy(), keep
 
 
 def make_tag_udf(
-    weights_bc, vocab_bc, id_cols: list[str], chars_col: str, dtype=np.float64
+    weights_bc, vocab_bc, id_cols: list[str], chars_col: str, dtype=np.float64,
+    use_crf: bool = True,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """UDF emitting per-sentence tag sequences: id_cols..., tags array."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         W, vocab = weights_bc.value, vocab_bc.value
         for pdf in batches:
-            labels, lens, _, keep = _run_batch(pdf, chars_col, W, vocab, dtype)
+            labels, lens, _, keep = _run_batch(pdf, chars_col, W, vocab, dtype, use_crf)
             kept = pdf.loc[keep.tolist() if hasattr(keep, "tolist") else keep]
             tags = [
                 [LABEL2TAG[int(l)] for l in labels[b, : lens[b]]]
@@ -297,7 +304,8 @@ def make_tag_udf(
 
 
 def make_mention_udf(
-    weights_bc, vocab_bc, id_cols: list[str], chars_col: str, dtype=np.float64
+    weights_bc, vocab_bc, id_cols: list[str], chars_col: str, dtype=np.float64,
+    use_crf: bool = True,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """UDF emitting mention rows (fused #22b): id_cols..., mention, etype,
     begin, end — saves materializing + shuffling tag arrays."""
@@ -305,7 +313,7 @@ def make_mention_udf(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         W, vocab = weights_bc.value, vocab_bc.value
         for pdf in batches:
-            labels, lens, chars_flat, keep = _run_batch(pdf, chars_col, W, vocab, dtype)
+            labels, lens, chars_flat, keep = _run_batch(pdf, chars_col, W, vocab, dtype, use_crf)
             kept = pdf.loc[keep.tolist() if hasattr(keep, "tolist") else keep]
             kept = kept.reset_index(drop=True)
             if labels.size == 0:
@@ -332,6 +340,7 @@ def tag_sentences(
     chars_col: str = "chars",
     emit: str = "tags",
     dtype=np.float64,
+    use_crf: bool = True,
 ) -> DataFrame:
     """Attach the tagger stage to a sentence DataFrame.
 
@@ -344,10 +353,10 @@ def tag_sentences(
         for f in df.schema if f.name in id_cols
     )
     if emit == "tags":
-        fn = make_tag_udf(weights_bc, vocab_bc, id_cols, chars_col, dtype)
+        fn = make_tag_udf(weights_bc, vocab_bc, id_cols, chars_col, dtype, use_crf)
         schema = f"{id_schema}, tags array<string>"
     elif emit == "mentions":
-        fn = make_mention_udf(weights_bc, vocab_bc, id_cols, chars_col, dtype)
+        fn = make_mention_udf(weights_bc, vocab_bc, id_cols, chars_col, dtype, use_crf)
         schema = f"{id_schema}, mention string, etype string, begin int, end int"
     else:
         raise ValueError(f"emit={emit!r}")

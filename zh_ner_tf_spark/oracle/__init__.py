@@ -10,6 +10,7 @@ tag-for-tag.
 """
 
 from zh_ner_tf_spark.oracle.numpy_ref import (  # noqa: F401
+    argmax_decode,
     bilstm_logits,
     conlleval_metrics,
     get_entities,

@@ -126,11 +126,24 @@ def viterbi_decode(score: np.ndarray, transition_params: np.ndarray) -> list[int
     return viterbi
 
 
-def tag_sentence(
-    sent: list[str], word2id: dict[str, int], weights: dict[str, np.ndarray]
-) -> list[str]:
-    """Full per-sentence inference: encode -> logits -> Viterbi -> tags.
+# --------------------------------------------------------------------------
+# Operator #15: argmax decode, the reference's CRF=False branch
+# (model.py:≈97-100 softmax_pred_op [R])
+# --------------------------------------------------------------------------
+def argmax_decode(score: np.ndarray) -> list[int]:
+    return [int(i) for i in np.argmax(score, axis=-1)]
 
+
+def tag_sentence(
+    sent: list[str],
+    word2id: dict[str, int],
+    weights: dict[str, np.ndarray],
+    use_crf: bool = True,
+) -> list[str]:
+    """Full per-sentence inference: encode -> logits -> decode -> tags.
+
+    use_crf=True: Viterbi over CRF transitions (reference default);
+    use_crf=False: per-timestep argmax (reference --CRF=False branch).
     Normalizes the reference's 0-for-'O' quirk (model.py:≈257-262 [R]
     emits integer 0 instead of the string 'O') to the string 'O'; the
     quirk itself is reproduced only in the conlleval parity layer.
@@ -139,7 +152,10 @@ def tag_sentence(
         return []
     ids = sentence2id(sent, word2id)
     logits = bilstm_logits(ids, weights)
-    labels = viterbi_decode(logits, weights["transitions"])
+    if use_crf:
+        labels = viterbi_decode(logits, weights["transitions"])
+    else:
+        labels = argmax_decode(logits)
     return [LABEL2TAG[l] for l in labels]
 
 
@@ -259,6 +275,7 @@ __all__ = [
     "lstm_forward",
     "bilstm_logits",
     "viterbi_decode",
+    "argmax_decode",
     "tag_sentence",
     "get_entities",
     "conlleval_metrics",

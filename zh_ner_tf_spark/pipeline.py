@@ -73,12 +73,18 @@ def mentions_to_graph(
     """
     triples = extract_triples(mentions, sentences, ["url", "sent_id"])
 
-    surfaces = (
-        mentions.groupBy("mention", "etype")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "entity_id", F.abs(F.xxhash64("mention", "etype")).cast("bigint")
-        )
+    # Hot-entity skew handling (BASELINE.json north_rule): the surface-
+    # frequency aggregation is the skewed groupBy at crawl scale (one
+    # surface can appear 10^9 times), so it runs as the salted two-phase
+    # aggregation — provably equal to the direct groupBy (tested).
+    from zh_ner_tf_spark.operators.skew import salted_agg
+
+    surfaces = salted_agg(
+        mentions.select("mention", "etype"),
+        ["mention", "etype"],
+        {"freq": ("count", "")},
+    ).withColumn(
+        "entity_id", F.abs(F.xxhash64("mention", "etype")).cast("bigint")
     )
     sim_edges = block_entities(
         surfaces.select("entity_id", F.col("mention").alias("surface"))
