@@ -60,11 +60,18 @@ extract_text_udf = F.pandas_udf(_extract_series, returnType=StringType())
 def with_extracted_text(df, html_col: str = "html", text_col: str = "text") -> "DataFrame":  # noqa: F821
     """Fill NULL ``text`` from ``html`` (pre-extracted text is trusted —
     the reference invariant is per-url byte identity, which holds for
-    both branches by construction)."""
-    return df.withColumn(
-        text_col,
-        F.coalesce(F.col(text_col), extract_text_udf(F.col(html_col))),
+    both branches by construction).
+
+    Split-and-union instead of ``coalesce(text, udf(html))``: Catalyst
+    evaluates Python UDFs in a separate ArrowEvalPython node BEFORE the
+    coalesce, i.e. every row would round-trip through the Python worker
+    even when ``text`` is already present. With the split, rows that
+    already carry text never leave the JVM."""
+    has = df.filter(F.col(text_col).isNotNull())
+    needs = df.filter(F.col(text_col).isNull()).withColumn(
+        text_col, extract_text_udf(F.col(html_col))
     )
+    return has.unionByName(needs)
 
 
 def sha256_text(col: Column) -> Column:

@@ -107,6 +107,90 @@ def _reverse_sequence(x: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return out
 
 
+def _fused_logits_packed(
+    ids: np.ndarray, lens: np.ndarray, W: dict[str, np.ndarray], dtype
+) -> np.ndarray:
+    """Fused fw+bw recurrence with in-loop embedding gather and in-loop
+    projection, for length-DESCENDING-sorted batches.
+
+    The whole point is the per-worker working set: instead of
+    materializing emb/fw/bw/bw_in [B,T,H] activation buffers (~5 KB per
+    char — which collapses to DRAM-bandwidth contention when 32 workers
+    run side by side), only ids [B,T] and logits [B,T,K=7] persist
+    (~40 B per char); everything else is per-step [k,H]-sized and stays
+    cache-resident. Identical math: logits[t] = fw_t @ P[:H] +
+    bw_t @ P[H:] + b, with the bw pass walking original positions
+    len-1-s per row (the reverse_sequence contract)."""
+    B, T = ids.shape
+    E = W["embeddings"].astype(dtype)
+    kf, bf = W["lstm_fw_kernel"].astype(dtype), W["lstm_fw_bias"].astype(dtype)
+    kb, bb = W["lstm_bw_kernel"].astype(dtype), W["lstm_bw_bias"].astype(dtype)
+    D = E.shape[1]
+    H = kf.shape[1] // 4
+    proj = W["proj_W"].astype(dtype)
+    pf, pb_half = proj[:H], proj[H:]
+    proj_b = W["proj_b"].astype(dtype)
+    K = proj.shape[1]
+    logits = np.zeros((B, T, K), dtype=dtype)
+    neg = -lens
+
+    # Preallocated step buffers, mutated in place: the per-step working
+    # set is z [B,4H] + zh [B,4H] + tmp [B,H] (~a few MB, cache-hot) —
+    # fresh-array churn per step is what kills aggregate scaling when 32
+    # workers contend for memory bandwidth.
+    z_buf = np.empty((B, 4 * H), dtype=dtype)
+    zh_buf = np.empty((B, 4 * H), dtype=dtype)
+    tmp = np.empty((B, H), dtype=dtype)
+
+    def sigmoid_(a: np.ndarray) -> np.ndarray:  # in-place σ
+        np.negative(a, out=a)
+        np.exp(a, out=a)
+        a += 1.0
+        np.reciprocal(a, out=a)
+        return a
+
+    def run(kernel, bias, backward: bool) -> None:
+        k_x, k_h = kernel[:D], kernel[D:]
+        h = np.zeros((B, H), dtype=dtype)
+        c = np.zeros((B, H), dtype=dtype)
+        for s in range(T):
+            k = int(np.searchsorted(neg, -(s + 1), side="right"))
+            if k == 0:
+                break
+            if backward:
+                pos = lens[:k] - 1 - s
+                x = E[ids[np.arange(k), pos]]
+            else:
+                x = E[ids[:k, s]]
+            z = z_buf[:k]
+            np.matmul(x, k_x, out=z)
+            np.matmul(h[:k], k_h, out=zh_buf[:k])
+            z += zh_buf[:k]
+            z += bias
+            i = z[:, :H]
+            j = z[:, H: 2 * H]
+            f = z[:, 2 * H: 3 * H]
+            o = z[:, 3 * H:]
+            f += FORGET_BIAS
+            sigmoid_(f)                     # σ(f + forget_bias)
+            c[:k] *= f
+            sigmoid_(i)
+            np.tanh(j, out=j)
+            np.multiply(i, j, out=tmp[:k])
+            c[:k] += tmp[:k]                # c' = c·σf + σ(i)·tanh(j)
+            np.tanh(c[:k], out=h[:k])
+            sigmoid_(o)
+            h[:k] *= o                      # h' = tanh(c')·σ(o)
+            if backward:
+                logits[np.arange(k), pos, :] += h[:k] @ pb_half
+            else:
+                logits[:k, s, :] = h[:k] @ pf + proj_b
+
+    run(kf, bf, backward=False)
+    run(kb, bb, backward=True)
+    return logits
+
+
 def batch_logits(
     ids: np.ndarray,
     lens: np.ndarray,
@@ -118,7 +202,14 @@ def batch_logits(
     dtype=float64 is the parity default (oracle agreement immune to
     summation-order noise); float32 is the throughput option — 2x BLAS
     rate and half the memory traffic — safe when decision margins are
-    comfortably above 1e-5 (e.g. trained/planted models)."""
+    comfortably above 1e-5 (e.g. trained/planted models).
+
+    Length-descending batches (what _run_batch always produces) take the
+    fused low-memory path; arbitrary batches fall back to the buffered
+    formulation (same math, parity-tested against each other via the
+    oracle)."""
+    if ids.shape[0] > 1 and np.all(lens[:-1] >= lens[1:]):
+        return _fused_logits_packed(ids, lens, W, dtype)
     emb = W["embeddings"].astype(dtype)[ids]
     fw = _lstm_batch(emb, lens, W["lstm_fw_kernel"].astype(dtype),
                      W["lstm_fw_bias"].astype(dtype))
