@@ -508,15 +508,21 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.functions.hashing import poly_hash
+    from zh_ner_tf_spark.operators.dedup import ngram_hash_rows
 
     docs = _docs(spark, sf_dir)
-    grams = word_ngram_hashes(F.col("text"), 3)
-    return docs.select(
-        "doc_id",
-        poly_hash(F.col("text")).alias("fingerprint"),
-        F.array_min(grams).alias("min_gram_hash"),
-        F.size(grams).cast("bigint").alias("n_grams"),
+    gram_stats = (
+        ngram_hash_rows(docs, "doc_id", "text", 3)
+        .groupBy("_k")
+        .agg(
+            F.min("gh").alias("min_gram_hash"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .withColumnRenamed("_k", "doc_id")
     )
+    return docs.select(
+        "doc_id", poly_hash(F.col("text")).alias("fingerprint")
+    ).join(gram_stats, "doc_id")
 
 
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

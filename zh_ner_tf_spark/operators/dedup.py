@@ -90,13 +90,61 @@ def _combine_slice(th: Column, i, n: int) -> Column:
 def ngram_hash_rows(
     df: DataFrame, key_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(key, gh) rows: distinct word-n-gram hashes, exploded. The row
-    shape lets downstream sketches (simhash votes, minhash mins) run as
-    plain codegen'd aggregates instead of per-array lambda folds."""
-    return df.select(
+    """(_k, gh) rows: distinct word-n-gram hashes, exploded.
+
+    Relational construction: explode tokens -> one polynomial hash per
+    token row -> window ``lead`` to combine n consecutive token hashes.
+    ⚠ deliberately NOT the array formulation (word_ngram_hashes) exploded:
+    Catalyst's CollapseProject inlines the token-hash array expression
+    into every element_at reference, re-deriving the whole array per
+    gram — quadratic per document. The window shuffle materializes the
+    per-token hash exactly once, and every downstream sketch (simhash
+    votes, minhash mins, jaccard joins) is a plain codegen'd aggregate.
+    Documents shorter than n tokens contribute one whole-doc fold
+    (matching word_ngram_hashes / the oracle SQL).
+    """
+    from pyspark.sql.window import Window
+
+    from zh_ner_tf_spark.operators.sentences import tokenize
+
+    toks = tokenize(df.select(key_col, text_col), text_col, [key_col])
+    th = toks.select(
         F.col(key_col).alias("_k"),
-        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gh"),
+        "pos",
+        F.aggregate(
+            F.transform(F.split("token", ""), lambda c: F.ascii(c).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % MINHASH_PRIME,
+        ).alias("th"),
     )
+    w = Window.partitionBy("_k").orderBy("pos")
+    parts = [F.col("th")] + [F.lead("th", k).over(w) for k in range(1, n)]
+    gh = F.lit(0).cast("bigint")
+    for p in parts:
+        gh = (gh * 31 + p) % MINHASH_PRIME
+    full = (
+        th.select("_k", gh.alias("gh"), parts[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("_k", "gh")
+    )
+    # short docs (< n tokens): one ordered whole-doc fold
+    short = (
+        th.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "th"))),
+                    lambda x: x["th"],
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: (acc * 31 + x) % MINHASH_PRIME,
+            ).alias("gh"),
+        )
+        .filter(F.col("_cnt") < n)
+        .select("_k", "gh")
+    )
+    return full.unionByName(short).distinct()
 
 
 def simhash_table(
@@ -136,17 +184,38 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for given (src, dst) candidate pairs."""
-    sets = df.select(
-        F.col(key_col).alias("_k"), word_ngram_hashes(F.col(text_col), n).alias("_g")
+    """Exact word-n-gram Jaccard for given (src, dst) candidate pairs.
+
+    Fully relational: |A∩B| is an equi-join of the exploded gram-hash
+    rows on (pair, gh), |A∪B| = |A| + |B| - |A∩B| — no per-pair array
+    materialization, so it holds up when documents have millions of
+    grams or one doc appears in many candidate pairs."""
+    g = ngram_hash_rows(df, key_col, text_col, n)
+    sizes = g.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+    ga = g.select(F.col("_k").alias("src"), "gh")
+    gb = g.select(F.col("_k").alias("dst"), "gh")
+    inter = (
+        pairs.join(ga, "src")
+        .join(gb, ["dst", "gh"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    a = sets.select(F.col("_k").alias("src"), F.col("_g").alias("_ga"))
-    b = sets.select(F.col("_k").alias("dst"), F.col("_g").alias("_gb"))
-    joined = pairs.join(a, "src").join(b, "dst")
-    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
-    union = F.size(F.array_union("_ga", "_gb")).cast("double")
-    return joined.select(
-        "src", "dst", F.round(inter / union, 6).alias("jaccard")
+    na = sizes.withColumnRenamed("_k", "src").withColumnRenamed("_n", "_na")
+    nb = sizes.withColumnRenamed("_k", "dst").withColumnRenamed("_n", "_nb")
+    return (
+        pairs.join(na, "src")
+        .join(nb, "dst")
+        .join(inter, ["src", "dst"], "left")
+        .na.fill(0, ["_inter"])
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 
