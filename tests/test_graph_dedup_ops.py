@@ -214,3 +214,36 @@ def test_hot_key_census(spark):
     df = spark.createDataFrame(rows, "k string, v int")
     hot = [r["k"] for r in hot_key_census(df, ["k"], factor=16).collect()]
     assert hot == ["hot"]
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    from zh_ner_tf_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    # probing every centroid must reproduce brute force EXACTLY
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_topk_partial_probe_finds_self(spark):
+    from zh_ner_tf_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id = 7").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=1).collect()
+    # the query IS corpus vector 7: same assignment -> same bucket -> rank 1
+    assert got[0]["vec_id"] == 7 and abs(got[0]["cosine"] - 1.0) < 1e-6

@@ -17,6 +17,7 @@ checks are stable.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -132,6 +133,96 @@ def lsh_candidates(
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+    )
+
+
+def fit_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 5,
+    seed: int = SEED,
+) -> np.ndarray:
+    """Seeded k-means-lite on a bounded driver-side sample (the standard
+    IVF recipe: the codebook is tiny and global; only ASSIGNMENT is
+    distributed). Returns L2-normalized centroids [n_centroids, dim]."""
+    sample = np.array(
+        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = sample[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _ivf_assign_udf(centroids_bc, nprobe: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        cent = centroids_bc.value                      # [C, dim] normalized
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cent.T                              # [B, C]
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+    seed: int = SEED,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are bucketed by nearest
+    centroid (one Arrow-vectorized pass, never shuffling raw vectors by
+    value); each query probes its ``nprobe`` nearest centroids and scores
+    exactly within those buckets. nprobe = n_centroids reproduces the
+    brute-force result exactly (tested).
+
+    The 100 TB shape: tiny global broadcast codebook, bucket-keyed equi
+    join, exact rescoring on ~corpus * nprobe / n_centroids rows."""
+    spark = corpus.sparkSession
+    cent = fit_ivf_centroids(corpus, n_centroids, vec_col, seed=seed)
+    cent_bc = spark.sparkContext.broadcast(cent)
+    c_assign = _ivf_assign_udf(cent_bc, 1)
+    q_assign = _ivf_assign_udf(cent_bc, nprobe)
+    c = corpus.select(
+        F.col(key_col), F.col(vec_col).alias("_cv"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("cid"),
+    )
+    q = queries.select(
+        F.col(query_key), F.col(vec_col).alias("_qv"),
+        F.explode(q_assign(F.col(vec_col))).alias("cid"),
+    )
+    scored = F.broadcast(q).join(c, "cid").select(
+        query_key,
+        key_col,
+        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("cosine").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.dropDuplicates([query_key, key_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 
