@@ -31,9 +31,7 @@ from zh_ner_tf_spark.config import ENG_TOKEN, NUM_TOKEN, PAD_TOKEN, SEED, UNK_TO
 from zh_ner_tf_spark.functions.hashing import MINHASH_PRIME, hash_family
 from zh_ner_tf_spark.functions.text import lang_id, quality_features, token_count_bpe_ish, token_count_ws
 from zh_ner_tf_spark.model.weights import build_class_weights
-from zh_ner_tf_spark.operators.dedup import simhash, word_ngram_hashes
 from zh_ner_tf_spark.operators.evaluation import conlleval_prf1, token_accuracy
-from zh_ner_tf_spark.operators.blocking import add_bands, minhash_signature
 from zh_ner_tf_spark.operators.sentences import split_sentences, tokenize
 from zh_ner_tf_spark.operators.similarity import brute_force_topk
 from zh_ner_tf_spark.operators.skew import salted_agg

@@ -24,6 +24,12 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     builder = SparkSession.builder.master(master).appName(app_name)
+    # Local mode = single JVM: driver memory is the ONLY heap knob, and
+    # the 1g default GC-thrashes (and corrupts shuffle temp files) on
+    # 10^5-row shuffles. Python workers live outside this heap.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    )
     for k, v in SPARK_CONF.items():
         builder = builder.config(k, v)
     # In local mode threads ≈ cores; one shuffle partition per core keeps
