@@ -108,3 +108,29 @@ def test_triples_pattern_join_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     rows = q.collect()
     assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [("x", "works_for", "y")]
+
+
+def test_day_partitioned_sink_prunes_partitions(spark, tmp_path):
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, pages_schema
+    from zh_ner_tf_spark.sources.sinks import read_day, write_partitioned_by_day
+
+    rows = gen_pages(800, seed=42)   # warc_ts spreads across days
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=pages_schema(),
+    )
+    path = str(tmp_path / "pages_by_day")
+    write_partitioned_by_day(df, path)
+    one_day = read_day(spark, path, "2025-01-01")
+    plan = _plan(one_day)
+    assert "PartitionFilters" in plan and "warc_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    n = one_day.count()
+    assert 0 < n < 800  # pruned to a strict subset
+
+    # dynamic partition overwrite: rewriting one day leaves others intact
+    first_day = df.filter(F.to_date("warc_ts") == "2025-01-01")
+    write_partitioned_by_day(first_day, path)
+    total = spark.read.parquet(path).count()
+    assert total == 800

@@ -1,0 +1,122 @@
+"""Property-based gates (hypothesis): the invariants that make the
+distributed engine safe under ANY partitioning get fuzzed here, plus the
+reference 0-quirk parity layer (SURVEY.md §5.2 layer 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zh_ner_tf_spark.config import LABEL2TAG, NUM_TAGS
+from zh_ner_tf_spark.operators.tagger import (
+    _reverse_sequence,
+    batch_logits,
+    spans_from_labels,
+    viterbi_batch,
+)
+from zh_ner_tf_spark.oracle import (
+    conlleval_metrics,
+    get_entities,
+    normalize_eval_quirks,
+    viterbi_decode,
+)
+
+TAGS = list(LABEL2TAG.values())
+
+
+# ---------------------------------------------------------------- strategies
+tag_seq = st.lists(st.sampled_from(TAGS), min_size=1, max_size=25)
+lens_strategy = st.lists(st.integers(1, 12), min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tag_seq)
+def test_span_extraction_roundtrip_covers_every_entity_position(tags):
+    chars = [chr(0x4E00 + i) for i in range(len(tags))]
+    spans = get_entities(tags, chars)
+    covered = set()
+    for mention, etype, b, e in spans:
+        assert 0 <= b <= e < len(tags)
+        assert mention == "".join(chars[b: e + 1])
+        for p in range(b, e + 1):
+            assert p not in covered, "spans must not overlap"
+            covered.add(p)
+            assert tags[p] != "O"
+    # every non-O position is inside exactly one span
+    assert covered == {p for p, t in enumerate(tags) if t != "O"}
+
+
+@settings(max_examples=40, deadline=None)
+@given(tag_seq)
+def test_vectorized_spans_match_oracle(tags):
+    chars = [chr(0x4E00 + i) for i in range(len(tags))]
+    from zh_ner_tf_spark.config import TAG2LABEL
+
+    labels = np.array([[TAG2LABEL[t] for t in tags]], dtype=np.int32)
+    lens = np.array([len(tags)])
+    got = {
+        (r.mention, r.etype, r.begin, r.end)
+        for r in spans_from_labels(labels, lens, np.array(chars, object)).itertuples()
+    }
+    want = set(get_entities(tags, chars))
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(lens_strategy, st.integers(0, 2**31 - 1))
+def test_batched_viterbi_matches_sequential(lens, seed):
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    lens_arr = np.array(sorted(lens, reverse=True), dtype=np.int64)
+    B, T = len(lens_arr), int(lens_arr.max())
+    logits = rng.normal(size=(B, T, NUM_TAGS))
+    trans = rng.normal(size=(NUM_TAGS, NUM_TAGS))
+    batched = viterbi_batch(logits, lens_arr, trans)
+    for b, n in enumerate(lens_arr):
+        want = viterbi_decode(logits[b, :n], trans)
+        assert list(batched[b, :n]) == want, (b, n)
+
+
+@settings(max_examples=30, deadline=None)
+@given(lens_strategy, st.integers(0, 2**31 - 1))
+def test_reverse_sequence_is_involution(lens, seed):
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    lens_arr = np.array(lens, dtype=np.int64)
+    B, T = len(lens_arr), int(lens_arr.max())
+    x = rng.normal(size=(B, T, 3))
+    assert np.array_equal(_reverse_sequence(_reverse_sequence(x, lens_arr), lens_arr), x)
+
+
+@settings(max_examples=15, deadline=None)
+@given(lens_strategy, st.integers(0, 2**31 - 1))
+def test_logits_padding_invariance(lens, seed):
+    """The distribution-safety invariant: per-row logits must not depend
+    on the other rows in the batch (what makes arbitrary Spark
+    partitioning sound)."""
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    from zh_ner_tf_spark.model.weights import init_weights
+
+    W = init_weights(vocab_size=9, embedding_dim=4, hidden_dim=5,
+                     seed=seed % 1000)
+    lens_arr = np.array(sorted(lens, reverse=True), dtype=np.int64)
+    B, T = len(lens_arr), int(lens_arr.max())
+    ids = rng.randint(0, 9, size=(B, T))
+    batched = batch_logits(ids, lens_arr, W)
+    for b, n in enumerate(lens_arr):
+        solo = batch_logits(ids[b: b + 1, :n], np.array([n]), W)
+        assert np.allclose(batched[b, :n], solo[0], atol=1e-9), b
+
+
+def test_conlleval_quirk_encodings_score_identically():
+    # reference eval files encode gold 'O' as '0' and pred O as int 0 —
+    # scores must equal the clean-string scoring after normalization
+    gold_clean = [["B-PER", "I-PER", "O", "B-LOC"], ["O", "B-ORG"]]
+    pred_clean = [["B-PER", "O", "O", "B-LOC"], ["B-ORG", "B-ORG"]]
+    gold_quirk = [["B-PER", "I-PER", "0", "B-LOC"], ["0", "B-ORG"]]
+    pred_quirk = [["B-PER", 0, 0, "B-LOC"], ["B-ORG", "B-ORG"]]
+    want = conlleval_metrics(gold_clean, pred_clean)
+    got = conlleval_metrics(
+        [normalize_eval_quirks(g) for g in gold_quirk],
+        [normalize_eval_quirks(p) for p in pred_quirk],
+    )
+    assert got == want

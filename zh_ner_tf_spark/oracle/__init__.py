@@ -15,6 +15,7 @@ from zh_ner_tf_spark.oracle.numpy_ref import (  # noqa: F401
     conlleval_metrics,
     get_entities,
     lstm_forward,
+    normalize_eval_quirks,
     normalize_token,
     sentence2id,
     tag_sentence,

@@ -209,6 +209,20 @@ def get_entities(
 
 
 # --------------------------------------------------------------------------
+# Reference eval-file quirks (parity layer ONLY — SURVEY.md §2 #20):
+#   * eval.py:≈14 [R] rewrites gold 'O' to the STRING '0' when dumping
+#     the char/gold/pred file;
+#   * model.py:≈257-262 [R] emits predicted label 0 as the INTEGER 0
+#     instead of the tag string 'O' (label2tag[label] quirk).
+# conlleval treats any tag that is not B-/I- prefixed as outside, so both
+# encodings are outside-equivalent; this normalizer maps them back before
+# scoring, and the quirk fixtures assert score-equivalence.
+# --------------------------------------------------------------------------
+def normalize_eval_quirks(tags: list) -> list[str]:
+    return ["O" if t in (0, "0", "O") else str(t) for t in tags]
+
+
+# --------------------------------------------------------------------------
 # Operator #21: conlleval-equivalent scoring (reference conlleval_rev.pl,
 # invoked by eval.py:≈23-27 [R]) — pure-Python port of the chunk rules.
 # --------------------------------------------------------------------------
@@ -276,6 +290,7 @@ __all__ = [
     "bilstm_logits",
     "viterbi_decode",
     "argmax_decode",
+    "normalize_eval_quirks",
     "tag_sentence",
     "get_entities",
     "conlleval_metrics",
