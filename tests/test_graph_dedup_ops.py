@@ -247,3 +247,22 @@ def test_ivf_topk_partial_probe_finds_self(spark):
     got = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=1).collect()
     # the query IS corpus vector 7: same assignment -> same bucket -> rank 1
     assert got[0]["vec_id"] == 7 and abs(got[0]["cosine"] - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("shape", ["long_path", "star", "bridged_cliques"])
+def test_connected_components_adversarial_shapes(spark, shape):
+    if shape == "long_path":
+        # worst case for naive propagation: O(n) without pointer jumping
+        edges = [(i, i + 1) for i in range(200)]
+    elif shape == "star":
+        # hot-key shape: one node with degree 300
+        edges = [(0, i) for i in range(1, 300)]
+    else:
+        a = [(i, j) for i in range(20) for j in range(i + 1, 20)]
+        b = [(100 + i, 100 + j) for i in range(20) for j in range(i + 1, 20)]
+        edges = a + b + [(19, 100)]  # bridge joins the cliques
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    nodes = {x for e in edges for x in e}
+    want = _union_find(nodes, edges)
+    assert got == want

@@ -8,12 +8,14 @@ Beyond", public): maintain parent pointers p(v); alternate
   large-star: for each edge (u,v): link max(u,v) -> min over neighborhood
   small-star: symmetric for smaller neighbors
 
-Simplified min-label propagation variant used here (correct, bounded by
-graph diameter after path-halving; adequate for entity-blocking graphs
-whose components are shallow):
-
-  labels(v) <- min(labels(v), min over neighbors labels(u)); iterate with
-  path compression (join labels onto themselves) until no label changes.
+Variant used here: min-label propagation WITH pointer jumping — each
+iteration takes (a) the min over neighbors' labels and (b) compresses one
+parent hop by joining the new labels through the previous label map.
+Step (b) is the star-operation's essential move: label chains halve every
+round, so convergence is O(log diameter) rounds, not O(diameter) — the
+same asymptotics the alternating large-star/small-star schedule achieves,
+with a simpler emission rule. Verified against a sequential union-find on
+random graphs, a 200-node path, a degree-300 star, and bridged cliques.
 
 Scale notes:
   * each iteration = one shuffle keyed on node id (groupBy min) — map-side
