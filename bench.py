@@ -349,6 +349,31 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _append_history(result: dict) -> list[str]:
+    """Append this run to BENCH/history.jsonl and render the last runs —
+    on this shared host the run-to-run band IS part of the measurement."""
+    os.makedirs("BENCH", exist_ok=True)
+    s = result.get("scaling", {})
+    rec = {
+        "headline_sec": result.get("value"),
+        "triples_per_sec": result.get("triples_per_sec"),
+        "tagger_chars_per_sec": result.get("tagger_chars_per_sec"),
+        "eff_raw": s.get("efficiency"),
+        "ceiling": s.get("hardware_ceiling", {}).get("ceiling_efficiency"),
+        "eff_vs_ceiling": s.get("efficiency_vs_ceiling"),
+    }
+    with open("BENCH/history.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    lines = ["", "## Run history (shared-host variance band)", ""]
+    try:
+        with open("BENCH/history.jsonl") as f:
+            for ln in f.readlines()[-8:]:
+                lines.append(f"- `{ln.strip()}`")
+    except OSError:
+        pass
+    return lines
+
+
 def _write_baseline_md(result: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     s = result.get("scaling", {})
@@ -402,6 +427,7 @@ def _write_baseline_md(result: dict) -> None:
         f"KG pipeline: {json.dumps(result.get('kg_pipeline'))}",
         f"Tagger full-size: {json.dumps(result.get('tagger_fullsize'))}",
     ]
+    lines += _append_history(result)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
