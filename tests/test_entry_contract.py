@@ -62,8 +62,9 @@ def test_query_matches_oracle(spark, duck, name):
     got = q(spark, SF_DIR).toPandas()
     want = duck.execute(sql).df()
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
-    assert sorted(map(str.lower, got.columns)) == sorted(
-        map(str.lower, want.columns)
+    # case-SENSITIVE: the driver's compare may not fold case
+    assert sorted(got.columns) == sorted(
+        want.columns
     ), f"{name}: columns {sorted(got.columns)} vs {sorted(want.columns)}"
     g, w = _normalize(got), _normalize(want)
     mismatches = [(a, b) for a, b in zip(g, w) if a != b]
