@@ -531,6 +531,74 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in batch (streaming-adjacent semantics): a new
+    session starts after a >30-minute gap per user; session ids via
+    lag + running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; epoch seconds via timestamp cast
+    # (session tz = UTC, matching DuckDB epoch())
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    with_sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): per-cell, per-slice and grand
+    totals in one pass (nulls mark rolled-up dimensions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c"),
+    )
+
+
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as portable conditional aggregation: order counts per
+    priority x status."""
+    o = load_table(spark, sf_dir, "orders")
+    statuses = ["O", "F", "P"]
+    aggs = [
+        F.sum((F.col("o_orderstatus") == st).cast("bigint")).alias(f"n_{st}")
+        for st in statuses
+    ]
+    return o.groupBy("o_orderpriority").agg(*aggs)
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers in segment AUTOMOBILE UNION customers
+    with an open order, minus (EXCEPT) customers without any order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("k")
+    )
+    open_o = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    no_order = c.select(F.col("c_custkey").alias("k")).exceptAll(
+        o.select(F.col("o_custkey").alias("k")).distinct()
+    )
+    combined = auto.union(open_o).distinct().exceptAll(no_order.distinct())
+    return combined.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
 def q_cc_one_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _supplier_edges(spark, sf_dir)
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -587,6 +655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "sessionize_events": q_sessionize_events,
+        "cube_lineitem": q_cube_lineitem,
+        "pivot_order_status": q_pivot_order_status,
+        "set_ops_customers": q_set_ops_customers,
         "cc_one_iteration": q_cc_one_iteration,
         "cc_full": q_cc_full,
     }
@@ -1009,6 +1081,51 @@ SELECT d.doc_id, {_poly_sql('d.text')} AS fingerprint,
        list_min(g.ghashes) AS min_gram_hash,
        len(g.ghashes)::BIGINT AS n_grams
 FROM documents d JOIN g ON d.doc_id = g.doc_id
+"""
+
+    fam_sqls["sessionize_events"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(event_id)::BIGINT AS first_event, max(event_id)::BIGINT AS last_event
+FROM s GROUP BY user_id, session_id
+"""
+
+    fam_sqls["cube_lineitem"] = f"""
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       sum({cents('l_quantity')})::BIGINT AS qty_c
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+    fam_sqls["pivot_order_status"] = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+    fam_sqls["set_ops_customers"] = """
+WITH auto AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+open_o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+no_order AS (
+  SELECT c_custkey AS k FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)),
+combined AS (
+  SELECT k FROM (SELECT k FROM auto UNION SELECT k FROM open_o)
+  EXCEPT SELECT k FROM no_order)
+SELECT count(*)::BIGINT AS n_customers, min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k
+FROM combined
 """
 
     fam_sqls["cc_one_iteration"] = """
