@@ -134,3 +134,33 @@ def test_day_partitioned_sink_prunes_partitions(spark, tmp_path):
     write_partitioned_by_day(first_day, path)
     total = spark.read.parquet(path).count()
     assert total == 800
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing = the pre-partitioned co-located join story: two tables
+    bucketed on the join key must hash-join with NO Exchange on either
+    side (at 100 TB this is the difference between a shuffle of the fact
+    table and none)."""
+    import uuid
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    suffix = uuid.uuid4().hex[:8]  # default warehouse dir; tables dropped below
+    t1, t2 = f"li_b_{suffix}", f"o_b_{suffix}"
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable(t1))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(t2))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(t1).join(
+            spark.table(t2),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
