@@ -84,3 +84,62 @@ def test_partial_crash_resume_no_duplicates(spark, docs, tmp_path):
     metrics = {r["stage"]: r for r in stage_metrics(spark, man2).collect()}
     assert metrics["s"]["n_buckets"] == 8
     assert metrics["s"]["rows_out"] == docs.count()
+
+
+def test_resumable_tagger_stage_end_to_end(spark, tmp_path):
+    """Exact resume wired around the REAL extract stage: pages ->
+    sentences -> tagger mentions, bucket-committed; a crash that loses
+    half the manifest re-processes only the missing buckets and the final
+    mentions table is identical to an uninterrupted run."""
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.fixtures.pages import (
+        gen_pages,
+        oracle_extract_text,
+        pages_schema,
+    )
+    from zh_ner_tf_spark.operators.tagger import broadcast_model, tag_sentences
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import pages_to_mentions
+
+    rows = gen_pages(200, seed=42)
+    word2id = {"<PAD>": 0}
+    for r in rows:
+        text = r["text"] if r["text"] is not None else oracle_extract_text(r["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    weights = planted_weights(word2id)
+    wb, vb = broadcast_model(spark, weights, word2id)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=pages_schema(),
+    )
+
+    def mentions_stage(pending):
+        # pending carries _bucket; run the real extract prefix on it
+        sents, mentions = pages_to_mentions(pending.drop("_bucket"), wb, vb, "zh")
+        keyed = pending.select("url", "_bucket")
+        return mentions.join(keyed, "url")
+
+    out = str(tmp_path / "mentions")
+    man = str(tmp_path / "manifest")
+    full = run_stage_with_lineage(
+        pages, mentions_stage, spark, "extract", "url", out, man, n_buckets=8
+    )
+    want = {
+        (r["url"], r["sent_id"], r["mention"], r["begin"]) for r in full.collect()
+    }
+    assert len(want) > 100
+
+    # crash simulation: only buckets 0..3 committed
+    partial = read_manifest(spark, man).filter(F.col("bucket") < 4)
+    man2 = str(tmp_path / "manifest2")
+    partial.coalesce(1).write.mode("overwrite").parquet(man2)
+    resumed = run_stage_with_lineage(
+        pages, mentions_stage, spark, "extract", "url", out, man2, n_buckets=8
+    )
+    got = {
+        (r["url"], r["sent_id"], r["mention"], r["begin"]) for r in resumed.collect()
+    }
+    assert got == want

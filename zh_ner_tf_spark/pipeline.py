@@ -44,10 +44,9 @@ def pages_to_mentions(
     sentences = split_sentences(df, "text", ["url"]).select(
         "url", "sent_id", "sentence"
     )
-    # Length-clustered batching: co-batched rows pad to similar lengths,
-    # cutting wasted GEMM work in the tagger (SURVEY.md §4.2). Narrow op —
-    # sorts within partitions only, no shuffle.
-    sentences = sentences.sortWithinPartitions(F.length("sentence"))
+    # Length clustering happens INSIDE the tagger UDF (length-sorted
+    # chunks per Arrow batch, operators/tagger.py CHUNK_ROWS) — no
+    # pre-sort stage needed, and it works under any partitioning.
     import numpy as np
 
     mentions = tag_sentences(
