@@ -440,6 +440,23 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking JOIN itself: documents sharing any MinHash band
+    become candidate pairs (pure integer arithmetic end to end, so the
+    self-join is exactly oracle-checkable)."""
+    from zh_ner_tf_spark.operators.blocking import minhash_bands_table
+
+    bands = minhash_bands_table(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    a = bands.select("band_id", "band_value", F.col("doc_id").alias("src"))
+    b = bands.select("band_id", "band_value", F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
+        .distinct()
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.operators.dedup import exact_dup_groups
 
@@ -647,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_accuracy": q_token_accuracy,
         "triples_pattern": q_triples_pattern,
         "minhash_bands": q_minhash_bands,
+        "lsh_doc_pairs": q_lsh_doc_pairs,
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -1002,6 +1020,14 @@ FROM (SELECT *, {triple_case} AS pred FROM gaps) WHERE pred IS NOT NULL
 """
 
     fam_sqls["minhash_bands"] = _minhash_bands_sql()
+
+    fam_sqls["lsh_doc_pairs"] = f"""
+WITH bands AS ({_minhash_bands_sql()})
+SELECT DISTINCT a.doc_id::BIGINT AS src, b.doc_id::BIGINT AS dst
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_value = b.band_value
+WHERE a.doc_id < b.doc_id
+"""
 
     fam_sqls["dedup_exact"] = """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
