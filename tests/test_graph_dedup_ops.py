@@ -69,6 +69,31 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_caches_edge_lineage(spark):
+    """sym is localCheckpoint'd before the loop: the (expensive) upstream
+    edge DAG must run a bounded number of times, NOT once per iteration.
+    A 30-node path needs several propagation rounds; an accumulator in the
+    edge source counts upstream row evaluations."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, i + 1) for i in range(30)], columns=["src", "dst"]
+        )
+    ).mapInPandas(_count, schema="src long, dst long")
+    out = connected_components(base)
+    assert out.filter(F.col("component") != 0).count() == 0
+    # sym = union of two selects over base -> upstream evaluated at most
+    # twice during the one checkpoint materialization (30 rows each);
+    # without the checkpoint this is 30 * 2 * (2 joins/iter * ~5 iters).
+    assert acc.value <= 2 * 30
+
+
 def test_blocking_finds_near_duplicate_surfaces(spark):
     surfaces = [
         (1, "阿里巴巴集团"), (2, "阿里巴巴集团公司"),   # near dup

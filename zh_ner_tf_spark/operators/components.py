@@ -45,11 +45,14 @@ def connected_components(
     """edges(src, dst) undirected -> (node, component) with component =
     min node id in the component. Isolated nodes appear iff present as a
     self-loop or in the edge list."""
+    # localCheckpoint: sym participates in EVERY iteration's join; without
+    # truncation its full upstream lineage (e.g. the shingle->MinHash->band
+    # self-join in mentions_to_graph) would re-execute O(iterations) times.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
