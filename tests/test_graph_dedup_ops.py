@@ -18,6 +18,7 @@ from zh_ner_tf_spark.operators.dedup import (
     minhash_near_dups,
     ngram_jaccard_pairs,
     simhash_groups,
+    simhash_table,
 )
 from zh_ner_tf_spark.operators.similarity import (
     ann_topk,
@@ -155,6 +156,56 @@ def test_ngram_jaccard_pairs(spark):
     # trigrams of 1: {abc,bcd,cde}; of 2: {abc,bcd,cdx} -> jac 2/4
     assert abs(got[(1, 2)] - 0.5) < 1e-9
     assert got[(1, 3)] == 0.0
+
+
+def test_ngram_hash_rows_matches_frozen_column_spec(spark):
+    """The vectorized pandas gram-hash path reproduces word_ngram_hashes
+    (the frozen Column/oracle spec) exactly — incl. CJK codepoints,
+    adjacent repeated tokens, space runs, short docs, and empty/
+    whitespace docs (whole-doc fold = [0])."""
+    from zh_ner_tf_spark.operators.dedup import ngram_hash_rows, word_ngram_hashes
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "of of of"), (2, "one two"), (3, "single"),
+        (4, ""), (5, "   "), (6, "阿里巴巴 集团 腾讯 控股 有限 公司"),
+        (7, "mixed 中文 and english tokens here"), (8, "a  b   c"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+    for n in (2, 3):
+        got = {
+            (r["_k"], r["gh"])
+            for r in ngram_hash_rows(df, "doc_id", "text", n).collect()
+        }
+        want = {
+            (r["doc_id"], g)
+            for r in df.select(
+                "doc_id", word_ngram_hashes(F.col("text"), n).alias("g")
+            ).collect()
+            for g in r["g"]
+        }
+        assert got == want
+    # empty/whitespace docs are present with the fold-of-nothing hash
+    got3 = dict(
+        ngram_hash_rows(df, "doc_id", "text", 3)
+        .groupBy("_k").agg(F.collect_set("gh").alias("g")).collect()
+    )
+    assert got3[4] == [0] and got3[5] == [0]
+
+
+def test_sketch_signature_plan_has_no_pre_aggregate_shuffle(spark):
+    """Sketch construction must not shuffle the token stream: the only
+    Exchange in the simhash plan is the final per-doc aggregate, and
+    there is no Window/Sort stage."""
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, "a b c d e"), (1, "f g h")], columns=["doc_id", "text"])
+    )
+    plan = (
+        simhash_table(df, "doc_id", "text", bits=16, n=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
 
 
 def test_simhash_identical_and_different(spark):

@@ -87,64 +87,86 @@ def _combine_slice(th: Column, i, n: int) -> Column:
     return acc
 
 
+def _gram_hashes_np(text: str | None, n: int):
+    """Distinct word-n-gram hashes of one document, vectorized in NumPy —
+    the frozen spec of word_ngram_hashes / the DuckDB oracle _grams_sql:
+    token hash = fold (acc*31 + codepoint) mod P over the token's chars;
+    gram hash = fold (acc*31 + token_hash) mod P over n consecutive token
+    hashes; docs with < n tokens (incl. zero) emit one whole-doc fold.
+
+    The modular fold unrolls to sum(c_j * 31^(L-1-j)) mod P, so both
+    levels are exact with term-wise mod + one reduction (every
+    intermediate stays < 2^52, safe in int64)."""
+    import numpy as np
+
+    P = MINHASH_PRIME
+    if text is None:
+        return None
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    nonsp = codes != 32  # frozen tokenizer: split on single space
+    if not nonsp.any():
+        return [0]
+    # token runs over the space mask
+    bounded = np.concatenate(([False], nonsp, [False]))
+    flips = np.flatnonzero(bounded[1:] != bounded[:-1])
+    starts, ends = flips[::2], flips[1::2]
+    lens = ends - starts
+    # per-char exponent = (token_end - 1 - idx); term-wise mod keeps sums
+    # < n_chars * 2^31
+    pow31 = np.ones(int(lens.max()), dtype=np.int64)
+    for k in range(1, len(pow31)):
+        pow31[k] = pow31[k - 1] * 31 % P
+    idx = np.flatnonzero(nonsp)
+    exp = np.repeat(ends - 1, lens) - idx
+    terms = codes[idx] * pow31[exp] % P
+    th = np.add.reduceat(terms, np.cumsum(np.concatenate(([0], lens[:-1])))) % P
+    m = len(th)
+    if m < n:
+        h = 0
+        for v in th.tolist():
+            h = (h * 31 + v) % P
+        return [h]
+    gh = th[: m - n + 1].copy()
+    for k in range(1, n):
+        gh = (gh * 31 + th[k : m - n + 1 + k]) % P
+    return np.unique(gh).tolist()
+
+
+def gram_hashes_udf(n: int):
+    """Arrow-vectorized pandas UDF: text -> array<bigint> of distinct
+    word-n-gram hashes (spec: _gram_hashes_np)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
+    def _grams(texts):
+        return pd.Series([_gram_hashes_np(t, n) for t in texts], dtype=object)
+
+    return _grams
+
+
 def ngram_hash_rows(
     df: DataFrame, key_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(_k, gh) rows: distinct word-n-gram hashes, exploded.
 
-    Relational construction: explode tokens -> one polynomial hash per
-    token row -> window ``lead`` to combine n consecutive token hashes.
-    ⚠ deliberately NOT the array formulation (word_ngram_hashes) exploded:
-    Catalyst's CollapseProject inlines the token-hash array expression
-    into every element_at reference, re-deriving the whole array per
-    gram — quadratic per document. The window shuffle materializes the
-    per-token hash exactly once, and every downstream sketch (simhash
-    votes, minhash mins, jaccard joins) is a plain codegen'd aggregate.
-    Documents shorter than n tokens contribute one whole-doc fold
-    (matching word_ngram_hashes / the oracle SQL).
-    """
-    from pyspark.sql.window import Window
-
-    from zh_ner_tf_spark.operators.sentences import tokenize
-
-    toks = tokenize(df.select(key_col, text_col), text_col, [key_col])
-    th = toks.select(
+    Construction: one Arrow-batched pandas UDF computes the per-doc gram
+    hash array in a single pass (NumPy-vectorized segmented polynomial
+    hash), then a JVM-side explode. NO shuffle — at crawl scale the
+    previous relational form (explode tokens + window ``lead``) shuffled
+    every token of every document just to build per-doc sketches; this
+    keeps sketch construction embarrassingly parallel so every downstream
+    sketch aggregate (simhash votes, minhash mins, jaccard joins) gets
+    map-side partials against the data's existing partitioning.
+    (The narrow all-Column array form is still wrong for a different
+    reason: Catalyst's CollapseProject re-inlines the token-hash array
+    into every element_at reference — quadratic per document.)
+    Documents with fewer than n tokens (including zero) contribute one
+    whole-doc fold (matching word_ngram_hashes / the oracle SQL)."""
+    return df.select(
         F.col(key_col).alias("_k"),
-        "pos",
-        F.aggregate(
-            F.transform(F.split("token", ""), lambda c: F.ascii(c).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x) % MINHASH_PRIME,
-        ).alias("th"),
+        F.explode(gram_hashes_udf(n)(F.col(text_col))).alias("gh"),
     )
-    w = Window.partitionBy("_k").orderBy("pos")
-    parts = [F.col("th")] + [F.lead("th", k).over(w) for k in range(1, n)]
-    gh = F.lit(0).cast("bigint")
-    for p in parts:
-        gh = (gh * 31 + p) % MINHASH_PRIME
-    full = (
-        th.select("_k", gh.alias("gh"), parts[-1].alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("_k", "gh")
-    )
-    # short docs (< n tokens): one ordered whole-doc fold
-    short = (
-        th.groupBy("_k")
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "th"))),
-                    lambda x: x["th"],
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: (acc * 31 + x) % MINHASH_PRIME,
-            ).alias("gh"),
-        )
-        .filter(F.col("_cnt") < n)
-        .select("_k", "gh")
-    )
-    return full.unionByName(short).distinct()
 
 
 def simhash_table(
