@@ -443,17 +443,14 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The blocking JOIN itself: documents sharing any MinHash band
     become candidate pairs (pure integer arithmetic end to end, so the
-    self-join is exactly oracle-checkable)."""
-    from zh_ner_tf_spark.operators.blocking import minhash_bands_table
+    self-join is exactly oracle-checkable). The engine path collapses
+    exact-duplicate texts before banding (operators/blocking.py
+    lsh_doc_pairs); the oracle is the direct uncollapsed self-join —
+    the equivalence is part of what this query checks."""
+    from zh_ner_tf_spark.operators.blocking import lsh_doc_pairs
 
-    bands = minhash_bands_table(_docs(spark, sf_dir), "doc_id", "text", k=3)
-    a = bands.select("band_id", "band_value", F.col("doc_id").alias("src"))
-    b = bands.select("band_id", "band_value", F.col("doc_id").alias("dst"))
-    return (
-        a.join(b, ["band_id", "band_value"])
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
-        .distinct()
+    return lsh_doc_pairs(_docs(spark, sf_dir), "doc_id", "text", k=3).select(
+        F.col("src").cast("bigint"), F.col("dst").cast("bigint")
     )
 
 

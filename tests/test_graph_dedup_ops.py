@@ -135,6 +135,45 @@ def test_minhash_vs_exact_jaccard_recall(spark):
     assert want_pairs <= got_pairs
 
 
+def test_lsh_doc_pairs_collapses_exact_dups(spark):
+    """1k identical docs + near-dup and distinct docs: (a) the pair set
+    equals the direct uncollapsed band self-join, (b) the rep-side band
+    table holds ONE row per (band_id, band_value) for the duplicated
+    text — the hot band keys are gone before the join."""
+    from zh_ner_tf_spark.operators.blocking import lsh_doc_pairs, minhash_bands_table
+
+    boiler = "breaking news contact us terms of service all rights reserved"
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [(2000, "a completely different document about spark shuffles"),
+             (2001, "a completely different document about spark shuffle"),
+             (2002, "unrelated text with no overlap whatsoever here")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got = {(r["src"], r["dst"]) for r in lsh_doc_pairs(df, "doc_id", "text", k=3).collect()}
+
+    bands = minhash_bands_table(df, "doc_id", "text", k=3)
+    a = bands.select("band_id", "band_value", F.col("doc_id").alias("src"))
+    b = bands.select("band_id", "band_value", F.col("doc_id").alias("dst"))
+    want = {
+        (r["src"], r["dst"])
+        for r in a.join(b, ["band_id", "band_value"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst").distinct().collect()
+    }
+    assert got == want
+    assert len(got) >= 1000 * 999 // 2  # all intra-group pairs present
+
+    # collapsed band table: the boilerplate text contributes one rep row
+    # per band, so no band group exceeds the distinct-text count
+    reps = df.dropDuplicates(["text"])
+    rep_bands = minhash_bands_table(reps, "doc_id", "text", k=3)
+    max_group = (
+        rep_bands.groupBy("band_id", "band_value")
+        .count().agg(F.max("count")).first()[0]
+    )
+    assert max_group <= reps.count()
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb"), (6, "aaa")],

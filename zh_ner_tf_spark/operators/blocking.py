@@ -127,6 +127,67 @@ def minhash_bands_table(
     ).select(key_col, "bv.band_id", "bv.band_value")
 
 
+def lsh_doc_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = MINHASH_NUM_HASHES,
+    n_bands: int = MINHASH_BANDS,
+    seed: int = SEED,
+) -> DataFrame:
+    """documents -> candidate near-dup pairs (src, dst), src < dst:
+    documents sharing at least one MinHash band.
+
+    Exact-duplicate texts are collapsed to one representative BEFORE the
+    band self-join (mirroring block_entities' surface collapse): identical
+    boilerplate pages — very common in a crawl — share every band and
+    would otherwise be hot keys in the self-join. The result is provably
+    the uncollapsed pair set: cross pairs are re-expanded through the
+    (doc -> representative) mapping, and intra-group pairs (identical
+    texts are definitionally near-dups) are emitted directly. Signatures
+    are computed once per distinct text, not once per copy.
+    """
+    ch = df.select(
+        F.col(key_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_ch"),
+        F.col(text_col).alias("_text"),
+    )
+    groups = ch.groupBy("_ch").agg(
+        F.min("_id").alias("_keep"), F.first("_text").alias("_text")
+    )
+    mapping = ch.select("_ch", "_id").join(groups.select("_ch", "_keep"), "_ch")
+    reps = groups.select(F.col("_keep").alias("_id"), F.col("_text"))
+    bands = minhash_bands_table(reps, "_id", "_text", k, n_hashes, n_bands, seed)
+    a = bands.select("band_id", "band_value", F.col("_id").alias("_ka"))
+    b = bands.select("band_id", "band_value", F.col("_id").alias("_kb"))
+    rep_pairs = (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("_ka") < F.col("_kb"))
+        .select("_ka", "_kb")
+        .distinct()
+    )
+    ma = mapping.select(F.col("_keep").alias("_ka"), F.col("_id").alias("_a"))
+    mb = mapping.select(F.col("_keep").alias("_kb"), F.col("_id").alias("_b"))
+    cross = rep_pairs.join(ma, "_ka").join(mb, "_kb").select("_a", "_b")
+    intra = (
+        mapping.select(F.col("_keep").alias("_g"), F.col("_id").alias("_a"))
+        .join(
+            mapping.select(F.col("_keep").alias("_g"), F.col("_id").alias("_b")),
+            "_g",
+        )
+        .filter(F.col("_a") < F.col("_b"))
+        .select("_a", "_b")
+    )
+    return (
+        cross.unionByName(intra)
+        .select(
+            F.least("_a", "_b").alias("src"), F.greatest("_a", "_b").alias("dst")
+        )
+        .distinct()
+    )
+
+
 def block_entities(
     entities: DataFrame,
     key_col: str = "entity_id",
