@@ -762,7 +762,12 @@ _LANG_SCORES = {
 
 
 def _count_tok_sql(tok: str) -> str:
-    return f"(len(string_split(' ' || text || ' ', ' {tok} ')) - 1)"
+    # lockstep twin of functions/text._count_token: doubled inner spaces
+    # so adjacent repeats each own both delimiters
+    return (
+        f"(len(string_split(' ' || replace(text, ' ', '  ') || ' ', "
+        f"' {tok} ')) - 1)"
+    )
 
 
 def _lang_id_sql() -> str:

@@ -1,0 +1,76 @@
+"""Unit tests for functions/text.py — the quality/language heuristics
+whose frozen definitions are mirrored in the DuckDB oracle SQL
+(__spark_entry__._count_tok_sql and friends)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.functions.text import (
+    _count_token,
+    lang_id,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+
+
+def _counts(spark, texts, tok):
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    return [
+        r["n"] for r in df.select(_count_token(F.col("text"), tok).alias("n")).collect()
+    ]
+
+
+def test_count_token_adjacent_repeats(spark):
+    texts = [
+        "of of of",            # adjacent repeats all counted
+        "of",                  # single, whole word
+        "of x of",             # separated
+        "offer profound",      # substring-only: no whole-word hit
+        "x of",                # at end
+        "of x",                # at start
+        "",                    # empty
+        "of of",               # two adjacent
+    ]
+    assert _counts(spark, texts, "of") == [3, 1, 2, 0, 1, 1, 0, 2]
+
+
+def test_count_token_matches_duck_oracle(spark):
+    """Engine and oracle SQL share the doubled-space definition exactly."""
+    from __spark_entry__ import _count_tok_sql
+
+    texts = ["of of of", "a of of b", "ofof of", "", "of", "x y z"]
+    got = _counts(spark, texts, "of")
+    duck = duckdb.connect()
+    want = [
+        duck.execute(
+            f"SELECT {_count_tok_sql('of')} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+def test_lang_id_and_token_counts(spark):
+    rows = [
+        ("the cat and the dog of with", "en"),
+        ("der die das und der", "de"),
+        ("le la les et", "fr"),
+        ("这是中文文本", "zh"),
+        ("qqq zzz www", "und"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["text", "want"]))
+    out = df.select("want", lang_id(F.col("text")).alias("got")).collect()
+    assert all(r["got"] == r["want"] for r in out)
+    tc = (
+        spark.createDataFrame(pd.DataFrame({"text": ["a bb  ccc", "x,y!"]}))
+        .select(
+            token_count_ws(F.col("text")).alias("ws"),
+            token_count_bpe_ish(F.col("text")).alias("bpe"),
+        )
+        .collect()
+    )
+    assert [r["ws"] for r in tc] == [3, 1]
+    assert [r["bpe"] for r in tc] == [3, 4]

@@ -30,8 +30,13 @@ STOPWORDS = ["the", "a", "of", "and"]
 
 
 def _count_token(text: Column, tok: str) -> Column:
-    # count occurrences of tok as a whole word via padded-split size
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    # Whole-word occurrence count, INCLUDING adjacent repeats ("of of of"
+    # counts 3): double every space first so neighbouring occurrences no
+    # longer share a delimiter, then count non-overlapping " tok " splits.
+    # (A lookaround regex would also work engine-side, but DuckDB's RE2
+    # oracle has no lookarounds — this form is expressible identically in
+    # both dialects; see _count_tok_sql in __spark_entry__.py.)
+    padded = F.concat(F.lit(" "), F.regexp_replace(text, " ", "  "), F.lit(" "))
     return (F.size(F.split(padded, f" {tok} ")) - 1).cast("bigint")
 
 
