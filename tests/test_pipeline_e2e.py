@@ -132,3 +132,49 @@ def test_pipeline_triples_pr_gate(spark, pages_df, pages_rows, tiny_model):
     # graph stage smoke: nodes cover every mention surface; edges weighted
     assert result["nodes"].count() > 0
     assert result["edges"].count() >= 0
+
+
+def test_edge_canon_resolution_is_deterministic(spark):
+    """A surface string appearing under TWO etypes (LOC and ORG) yields two
+    node rows with different canon ids; edge src/dst must resolve to the
+    role-restricted min canon_id — stable across runs — not an arbitrary
+    dropDuplicates pick (ADVICE r1)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.pipeline import mentions_to_graph
+
+    sent = "张三任职阿里很好"
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("u1", 0, "张三", "PER", 0, 1),
+                ("u1", 0, "阿里", "ORG", 4, 5),
+                ("u2", 0, "阿里", "LOC", 4, 5),   # same surface, other etype
+                ("u2", 0, "张三", "PER", 0, 1),
+            ],
+            columns=["url", "sent_id", "mention", "etype", "begin", "end"],
+        )
+    )
+    sentences = spark.createDataFrame(
+        pd.DataFrame(
+            [("u1", 0, sent), ("u2", 0, sent)],
+            columns=["url", "sent_id", "sentence"],
+        )
+    )
+    runs = []
+    for _ in range(2):
+        triples, nodes, edges = mentions_to_graph(mentions, sentences)
+        node_rows = nodes.collect()
+        canon_by_role = [
+            r["canon_id"] for r in node_rows
+            if r["surface"] == "阿里" and r["etype"] in ("ORG", "LOC")
+        ]
+        assert len(canon_by_role) == 2          # two node rows survive
+        e = sorted(
+            (r["src"], r["dst"], r["pred"], r["weight"]) for r in edges.collect()
+        )
+        assert e, "expected a works_for edge"
+        assert all(dst == min(canon_by_role) for _, dst, _, _ in e)
+        runs.append(e)
+    assert runs[0] == runs[1]

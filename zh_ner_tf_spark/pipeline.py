@@ -94,22 +94,26 @@ def mentions_to_graph(
         .withColumn("canon_id", F.coalesce("component", "entity_id"))
         .select("canon_id", F.col("mention").alias("surface"), "etype", "freq")
     )
-    surf_to_canon = nodes.select(
-        F.col("surface").alias("mention"), "canon_id"
-    ).dropDuplicates(["mention"])
+    # Deterministic surface -> canon resolution: a surface string can
+    # exist under several etypes (several node rows); dropDuplicates would
+    # pick one arbitrarily per run, breaking the resume/determinism
+    # contract. Resolve per triple ROLE (subject types vs object types)
+    # and take the min canon_id within the role — stable across runs and
+    # partitionings.
+    def _surf_map(etypes: tuple[str, ...], out: str) -> DataFrame:
+        return (
+            nodes.filter(F.col("etype").isin(*etypes))
+            .groupBy("surface")
+            .agg(F.min("canon_id").alias(out))
+        )
+
+    subj_map = _surf_map(("PER",), "src")
+    obj_map = _surf_map(("ORG", "LOC"), "dst")
     edges = (
-        triples.join(
-            surf_to_canon.withColumnRenamed("canon_id", "src"),
-            triples["subj"] == surf_to_canon["mention"],
-        )
-        .drop("mention")
-        .join(
-            surf_to_canon.withColumnRenamed("canon_id", "dst").withColumnRenamed(
-                "mention", "m2"
-            ),
-            F.col("obj") == F.col("m2"),
-        )
-        .drop("m2")
+        triples.join(subj_map, triples["subj"] == subj_map["surface"])
+        .drop("surface")
+        .join(obj_map, F.col("obj") == obj_map["surface"])
+        .drop("surface")
         .groupBy("src", "dst", "pred")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
