@@ -187,6 +187,28 @@ def q_ner_tagger_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_argmax_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tagger's non-CRF path (use_crf=False: per-step argmax over the
+    projected logits, reference main.py CRF flag / SURVEY §2 #15). With
+    no transition grammar the planted model emits B-PER independently at
+    EVERY letter, so each letter char is its own one-char span — the
+    oracle is per-letter mention SQL. This observably distinguishes
+    argmax from Viterbi (which yields letter RUNS on the same model)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 1)
+    weights, word2id = _ascii_model()
+    wb, vb = broadcast_model(spark, weights, word2id)
+    m = tag_sentences(
+        docs.select("doc_id", F.col("text").alias("sentence")),
+        wb, vb, id_cols=["doc_id"], chars_col="sentence", emit="mentions",
+        use_crf=False,
+    )
+    return m.select(
+        "doc_id", "mention", "etype",
+        F.col("begin").cast("bigint").alias("begin"),
+        F.col("end").cast("bigint").alias("end"),
+    )
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
@@ -495,6 +517,26 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe = n_centroids: every query probes every inverted
+    list, which reproduces brute-force exactly (the standard IVF recall
+    upper bound) — so the brute-force SQL is an exact oracle for the
+    whole IVF plumbing (codebook broadcast, bucket assignment UDF,
+    bucket-keyed join, rescoring)."""
+    from zh_ner_tf_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=8).select(
+        F.col("query_id").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "cosine",
+        F.col("rank").cast("bigint"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
@@ -643,6 +685,8 @@ def q_cc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ner_tagger_mentions": q_ner_tagger_mentions,
+        "argmax_decode": q_argmax_decode,
+        "ivf_topk_full": q_ivf_topk_full,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "broadcast_join_dims": q_broadcast_join_dims,
         "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -819,6 +863,20 @@ r AS (SELECT *, sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
 SELECT doc_id, string_agg(c, '' ORDER BY pos) AS mention, 'PER' AS etype,
        min(pos)::BIGINT AS "begin", max(pos)::BIGINT AS "end"
 FROM r WHERE is_l = 1 GROUP BY doc_id, span_id
+"""
+
+    # argmax decode (use_crf=False): no transition grammar -> B-PER at
+    # every letter independently -> every letter char is its own span
+    fam_sqls["argmax_decode"] = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 1),
+ch AS (
+  SELECT doc_id, i - 1 AS pos, substring(text, i, 1) AS c
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        FROM d WHERE length(text) > 0)
+)
+SELECT doc_id, c AS mention, 'PER' AS etype,
+       pos::BIGINT AS "begin", pos::BIGINT AS "end"
+FROM ch WHERE regexp_matches(c, '^[A-Za-z]$')
 """
 
     fam_sqls["tpch_pricing_summary"] = f"""
@@ -1066,6 +1124,9 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cosine, rank
 FROM ranked WHERE rank <= 10
 """
+
+    # IVF at full probe is exactly brute force — same oracle
+    fam_sqls["ivf_topk_full"] = fam_sqls["embedding_topk"]
 
     fam_sqls["lang_id"] = _lang_id_sql()
 
