@@ -73,32 +73,59 @@ def _spin(n: int) -> float:
     return time.time() - t0
 
 
+def _copy(n_bytes: int) -> float:
+    import numpy as np
+
+    a = np.zeros(n_bytes // 8)
+    t0 = time.time()
+    for _ in range(4):
+        a = a + 1.0  # read + write: a stream-bandwidth proxy
+    return time.time() - t0
+
+
 def cpu_ceiling(reps: int = 2) -> dict:
-    """Hardware-attainable 8->32 scaling on THIS host, measured with a
-    pure-ALU spin loop via multiprocessing — no Spark, no memory, no I/O.
-    On a dedicated 32-core box this ratio is ~4.0; on an oversubscribed
-    shared host it is the hard ceiling NO workload can exceed. Reported
-    so the engine's measured efficiency can be read against what the
-    sandbox physically allows (BENCH/BASELINE.md)."""
+    """Hardware-attainable 8->32 scaling on THIS host, measured with two
+    no-Spark multiprocessing controls: a pure-ALU spin loop and a memory
+    stream (read+write over 64 MiB/proc). On a dedicated 32-core box both
+    ratios are ~4.0; on this oversubscribed shared VM they are hard
+    ceilings NO workload of that resource mix can exceed. Reported so
+    the engine's measured efficiency can be read against what the
+    sandbox physically allows (BENCH/BASELINE.md). Normalization uses
+    the STRICTER (ALU) ceiling; the bandwidth row is context for the
+    GEMM/shuffle-heavy jobs."""
     import multiprocessing as mp
 
     n = 20_000_000
-    rates = {}
+    nb = 64 * 1024 * 1024
+    rates: dict = {}
+    bw: dict = {}
     for k in (8, 32):
         best = 0.0
+        best_bw = 0.0
         for _ in range(reps):
             with mp.Pool(k) as pool:
                 t0 = time.time()
                 pool.map(_spin, [n] * k)
                 wall = time.time() - t0
             best = max(best, k * n / wall)
+            with mp.Pool(k) as pool:
+                t0 = time.time()
+                pool.map(_copy, [nb] * k)
+                wall = time.time() - t0
+            best_bw = max(best_bw, k * nb * 4 * 2 / wall)  # rd+wr bytes
         rates[k] = best
+        bw[k] = best_bw
     ratio = rates[32] / rates[8]
+    bw_ratio = bw[32] / bw[8]
     return {
         "spin8_mops": round(rates[8] / 1e6, 1),
         "spin32_mops": round(rates[32] / 1e6, 1),
         "ratio_8_to_32": round(ratio, 3),
         "ceiling_efficiency": round(ratio / 4, 3),
+        "membw8_gbps": round(bw[8] / 1e9, 2),
+        "membw32_gbps": round(bw[32] / 1e9, 2),
+        "membw_ratio_8_to_32": round(bw_ratio, 3),
+        "membw_ceiling_efficiency": round(bw_ratio / 4, 3),
     }
 
 
@@ -202,18 +229,19 @@ def run_kg_pipeline(spark, pages, weights, word2id) -> dict:
 
 
 def run_triples_stage(spark, pages, weights, word2id) -> dict:
-    """Scaling probe: pages -> extract -> sentences -> tagger -> mentions
-    -> triples (the throughput-scalable pipeline prefix)."""
+    """Scaling probe: pages -> extract -> sentences -> tagger -> triples,
+    the FUSED zero-shuffle prefix (pages_to_tagged emits sentence +
+    mention-array rows; triples_from_tagged pairs them narrowly)."""
     import numpy as np
 
     from zh_ner_tf_spark.operators.tagger import broadcast_model
-    from zh_ner_tf_spark.operators.triples import extract_triples
-    from zh_ner_tf_spark.pipeline import pages_to_mentions
+    from zh_ner_tf_spark.operators.triples import triples_from_tagged
+    from zh_ner_tf_spark.pipeline import pages_to_tagged
 
     wb, vb = broadcast_model(spark, weights, word2id)
     t0 = time.time()
-    sentences, mentions = pages_to_mentions(pages, wb, vb, "zh", np.float32)
-    triples = extract_triples(mentions, sentences, ["url", "sent_id"])
+    tagged = pages_to_tagged(pages, wb, vb, "zh", np.float32)
+    triples = triples_from_tagged(tagged, ["url", "sent_id"])
     n_triples = triples.count()
     dt = time.time() - t0
     n_pages = pages.count()
@@ -223,6 +251,41 @@ def run_triples_stage(spark, pages, weights, word2id) -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / dt, 1),
         "pages_per_sec": round(n_pages / dt, 1),
+    }
+
+
+def run_triples_stage_profiled(spark, pages, weights, word2id) -> dict:
+    """Per-stage attribution twin of run_triples_stage: materializes each
+    stage (localCheckpoint) to time sentences/tagger/triples separately.
+    Used for the BASELINE.md stage table, NOT for the scaling ratio (the
+    materialization barriers change what is measured)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.operators.extract_text import with_extracted_text
+    from zh_ner_tf_spark.operators.sentences import split_sentences
+    from zh_ner_tf_spark.operators.tagger import broadcast_model, tag_sentences
+    from zh_ner_tf_spark.operators.triples import triples_from_tagged
+
+    wb, vb = broadcast_model(spark, weights, word2id)
+    t0 = time.time()
+    df = with_extracted_text(pages.filter(F.col("lang") == "zh")).select("url", "text")
+    sentences = split_sentences(df, "text", ["url"]).select(
+        "url", "sent_id", "sentence"
+    ).localCheckpoint()
+    t1 = time.time()
+    tagged = tag_sentences(
+        sentences, wb, vb, id_cols=["url", "sent_id"], chars_col="sentence",
+        emit="tagged", dtype=np.float32,
+    ).localCheckpoint()
+    t2 = time.time()
+    n_triples = triples_from_tagged(tagged, ["url", "sent_id"]).count()
+    t3 = time.time()
+    return {
+        "sentences_sec": round(t1 - t0, 3),
+        "tagger_sec": round(t2 - t1, 3),
+        "triples_sec": round(t3 - t2, 3),
+        "triples": n_triples,
     }
 
 
@@ -303,22 +366,44 @@ def main() -> None:
         # surfaces regardless of page count — at real scale it grows with
         # data and shuffles like any wide op, but at bench scale it is
         # pure fixed overhead and would corrupt the ratio.
+        # Drift control: the shared host's capacity wanders minute to
+        # minute, so reps INTERLEAVE the two parallelism levels (8, 32,
+        # 8, 32, ...) — an all-8s-then-all-32s schedule turns any drift
+        # into a fake scaling signal. Fresh session per rep; best-of and
+        # median reported per level.
         REPS = 3
-        scaling: dict = {}
-        for n in (8, 32):
-            s = _spark(f"local[{n}]")
-            pages_n = _bench_pages_spark(s, N_SCALING_PAGES)
-            best_p: dict = {}
-            best_t: dict = {}
-            for _ in range(REPS):
-                p = run_triples_stage(s, pages_n, weights, word2id)
-                if not best_p or p["triples_per_sec"] > best_p["triples_per_sec"]:
-                    best_p = p
-                t = run_tagger_fullsize(s, SF_DIR, TAGGER_DOCS)
-                if not best_t or t["chars_per_sec"] > best_t["chars_per_sec"]:
-                    best_t = t
-            scaling[f"local{n}"] = {"kg_pipeline": best_p, "tagger": best_t}
-            s.stop()
+        _med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        runs: dict = {8: {"p": [], "t": []}, 32: {"p": [], "t": []}}
+        profs: dict = {}
+        for rep in range(REPS):
+            for n in (8, 32):
+                s = _spark(f"local[{n}]")
+                pages_n = _bench_pages_spark(s, N_SCALING_PAGES)
+                runs[n]["p"].append(
+                    run_triples_stage(s, pages_n, weights, word2id)
+                )
+                runs[n]["t"].append(run_tagger_fullsize(s, SF_DIR, TAGGER_DOCS))
+                if rep == REPS - 1:
+                    profs[n] = run_triples_stage_profiled(
+                        s, pages_n, weights, word2id
+                    )
+                s.stop()
+        scaling = {
+            f"local{n}": {
+                "kg_pipeline": max(
+                    runs[n]["p"], key=lambda r: r["triples_per_sec"]
+                ),
+                "kg_pipeline_median_tps": _med(
+                    [r["triples_per_sec"] for r in runs[n]["p"]]
+                ),
+                "tagger": max(runs[n]["t"], key=lambda r: r["chars_per_sec"]),
+                "tagger_median_cps": _med(
+                    [r["chars_per_sec"] for r in runs[n]["t"]]
+                ),
+                "stage_profile": profs[n],
+            }
+            for n in (8, 32)
+        }
         eff_pipe = (
             scaling["local32"]["kg_pipeline"]["triples_per_sec"]
             / scaling["local8"]["kg_pipeline"]["triples_per_sec"]
@@ -327,22 +412,24 @@ def main() -> None:
             scaling["local32"]["tagger"]["chars_per_sec"]
             / scaling["local8"]["tagger"]["chars_per_sec"]
         ) / 4
-        # headline triples/s = best measured run of the triples stage
-        best_tps = max(
-            result.get("triples_per_sec", 0.0),
-            scaling[f"local{CPUS}"]["kg_pipeline"]["triples_per_sec"]
-            if f"local{CPUS}" in scaling else 0.0,
-        )
-        result["triples_per_sec"] = best_tps
+        # triples/s headlines stay tied to ONE named workload each:
+        # result["triples_per_sec"] = the 24k-fixture-page FULL pipeline
+        # (set above); the 600k-JVM-page fused triples stage is reported
+        # separately.
+        result["triples_stage_per_sec"] = scaling[f"local{CPUS}"][
+            "kg_pipeline"
+        ]["triples_per_sec"] if f"local{CPUS}" in scaling else None
+        # BOTH jobs are reported against the >=0.8 gate — no cross-job max
         scaling["efficiency_kg_pipeline"] = round(eff_pipe, 3)
         scaling["efficiency_tagger"] = round(eff_tag, 3)
-        scaling["efficiency"] = round(max(eff_pipe, eff_tag), 3)
+        scaling["efficiency"] = round(min(eff_pipe, eff_tag), 3)
         ceiling = cpu_ceiling()
         scaling["hardware_ceiling"] = ceiling
         ce = max(ceiling["ceiling_efficiency"], 1e-9)
-        scaling["efficiency_vs_ceiling"] = round(
-            min(scaling["efficiency"] / ce, 1.0), 3
-        )
+        scaling["efficiency_vs_ceiling"] = {
+            "kg_pipeline": round(min(eff_pipe / ce, 1.0), 3),
+            "tagger": round(min(eff_tag / ce, 1.0), 3),
+        }
         result["scaling"] = scaling
         _write_baseline_md(result)
 
@@ -357,8 +444,12 @@ def _append_history(result: dict) -> list[str]:
     rec = {
         "headline_sec": result.get("value"),
         "triples_per_sec": result.get("triples_per_sec"),
+        "triples_stage_per_sec": result.get("triples_stage_per_sec"),
         "tagger_chars_per_sec": result.get("tagger_chars_per_sec"),
-        "eff_raw": s.get("efficiency"),
+        "eff_kg_pipeline": s.get("efficiency_kg_pipeline"),
+        "eff_tagger": s.get("efficiency_tagger"),
+        "kg_median_tps_32": s.get("local32", {}).get("kg_pipeline_median_tps"),
+        "tagger_median_cps_32": s.get("local32", {}).get("tagger_median_cps"),
         "ceiling": s.get("hardware_ceiling", {}).get("ceiling_efficiency"),
         "eff_vs_ceiling": s.get("efficiency_vs_ceiling"),
     }
@@ -393,29 +484,52 @@ def _write_baseline_md(result: dict) -> None:
         t8 = s["local8"]["tagger"]
         t32 = s["local32"]["tagger"]
         c = s.get("hardware_ceiling", {})
+        evc = s.get("efficiency_vs_ceiling", {})
         lines += [
-            f"| KG pipeline (triples/s) | {p8['triples_per_sec']} | "
+            f"| KG fused triples stage (triples/s, best-of-{3}; median@32 "
+            f"{s['local32'].get('kg_pipeline_median_tps')}) | {p8['triples_per_sec']} | "
             f"{p32['triples_per_sec']} | {s['efficiency_kg_pipeline']} |",
-            f"| tagger D=H=300 (chars/s) | {t8['chars_per_sec']} | "
+            f"| tagger D=H=300 (chars/s, best-of-{3}; median@32 "
+            f"{s['local32'].get('tagger_median_cps')}) | {t8['chars_per_sec']} | "
             f"{t32['chars_per_sec']} | {s['efficiency_tagger']} |",
             f"| pure-ALU spin (control, no Spark) | {c.get('spin8_mops')} Mops | "
             f"{c.get('spin32_mops')} Mops | {c.get('ceiling_efficiency')} |",
+            f"| memory stream rd+wr (control, no Spark) | {c.get('membw8_gbps')} GB/s | "
+            f"{c.get('membw32_gbps')} GB/s | {c.get('membw_ceiling_efficiency')} |",
+            "",
+            "### Per-stage attribution (one profiled run, localCheckpoint barriers)",
+            "",
+            "| stage | local[8] sec | local[32] sec |",
+            "|---|---|---|",
+        ]
+        pr8 = s["local8"].get("stage_profile", {})
+        pr32 = s["local32"].get("stage_profile", {})
+        for st in ("sentences_sec", "tagger_sec", "triples_sec"):
+            lines.append(
+                f"| {st.removesuffix('_sec')} | {pr8.get(st)} | {pr32.get(st)} |"
+            )
+        lines += [
             "",
             "### Reading these numbers",
             "",
-            "This sandbox is an OVERSUBSCRIBED shared-host VM: the pure-ALU",
-            "control row shows that going from 8 to 32 processes yields only",
-            f"{c.get('ratio_8_to_32', '?')}x aggregate compute for ANY workload — a hardware",
-            f"ceiling of {c.get('ceiling_efficiency', '?')} efficiency before a single byte of engine",
-            "code runs (memory bandwidth is similarly shared: measured copy",
-            "bandwidth swings 0.1-9 GB/s minute to minute). On a real cluster,",
-            "N -> 4N executors multiplies every resource; here local[8] ->",
-            "local[32] multiplies only the thread count against a fixed",
-            "resource budget.",
+            "BOTH jobs are reported against the >= 0.8 gate (no cross-job",
+            "max). This sandbox is an OVERSUBSCRIBED shared-host VM: the",
+            "pure-ALU control row shows that going from 8 to 32 processes",
+            f"yields only {c.get('ratio_8_to_32', '?')}x aggregate compute for ANY workload — a",
+            f"hardware ceiling of {c.get('ceiling_efficiency', '?')} efficiency before a single byte of",
+            "engine code runs. Memory bandwidth is similarly shared (see the",
+            "memory-stream control row: its 8->32 ratio bounds shuffle/GEMM-",
+            "heavy stages); normalization below deliberately uses the",
+            "STRICTER ALU ceiling. Reps interleave the two parallelism",
+            "levels so host drift cannot masquerade as a scaling signal.",
+            "On a real cluster, N -> 4N executors multiplies every resource;",
+            "here local[8] -> local[32] multiplies only the thread count",
+            "against a fixed resource budget.",
             "",
-            f"Raw best-of efficiency: {s['efficiency']}  |  normalized to the",
-            f"hardware ceiling: {s['efficiency_vs_ceiling']} (gate >= 0.8 applies to the",
-            "cluster criterion; the ceiling-normalized figure is the sandbox",
+            f"Raw best-of efficiency: KG pipeline {s['efficiency_kg_pipeline']}, tagger",
+            f"{s['efficiency_tagger']} | normalized to the hardware ceiling: KG",
+            f"{evc.get('kg_pipeline')}, tagger {evc.get('tagger')} (the >= 0.8 gate is the cluster",
+            "criterion; the ceiling-normalized figure is the sandbox",
             "substitute this box can evidence).",
         ]
     lines += ["", "## Headline query timings (sec)", ""]

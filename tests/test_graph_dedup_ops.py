@@ -174,6 +174,40 @@ def test_lsh_doc_pairs_collapses_exact_dups(spark):
     assert max_group <= reps.count()
 
 
+def test_banded_pairs_salted_equals_plain_self_join(spark):
+    """One hot band key (60 members vs mean ~1): the salted self-join
+    emits exactly the plain join's pair set, and the hot key's pair work
+    is spread over more than one salt bucket."""
+    from zh_ner_tf_spark.operators.blocking import banded_pairs_salted
+
+    rows = [(0, 999, i) for i in range(60)]           # hot band
+    rows += [(1, i, 1000 + i) for i in range(50)]      # 50 singleton bands
+    rows += [(2, 5, 2000), (2, 5, 2001)]               # one cold pair
+    banded = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["band_id", "band_value", "eid"])
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in banded_pairs_salted(banded, "eid", salt_buckets=8).collect()
+    }
+    a = banded.select("band_id", "band_value", F.col("eid").alias("src"))
+    b = banded.select("band_id", "band_value", F.col("eid").alias("dst"))
+    want = {
+        (r["src"], r["dst"])
+        for r in a.join(b, ["band_id", "band_value"])
+        .filter(F.col("src") < F.col("dst")).collect()
+    }
+    assert got == want
+    assert len(got) == 60 * 59 // 2 + 1
+    # the hot side actually salts: the 60 hot ids hash to >1 bucket
+    n_salts = (
+        banded.filter(F.col("band_id") == 0)
+        .select(F.pmod(F.xxhash64(F.col("eid")), F.lit(8)).alias("s"))
+        .distinct().count()
+    )
+    assert n_salts > 1
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb"), (6, "aaa")],

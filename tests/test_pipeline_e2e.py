@@ -178,3 +178,49 @@ def test_edge_canon_resolution_is_deterministic(spark):
         assert all(dst == min(canon_by_role) for _, dst, _, _ in e)
         runs.append(e)
     assert runs[0] == runs[1]
+
+
+def test_fused_triples_match_relational_path(spark, pages_df, pages_rows, tiny_model):
+    """The zero-shuffle emit='tagged' + triples_from_tagged path emits
+    exactly the relational extract_triples output (pair-level
+    multiplicity) on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.operators.tagger import broadcast_model
+    from zh_ner_tf_spark.operators.triples import extract_triples, triples_from_tagged
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import pages_to_mentions, pages_to_tagged
+
+    _, base_word2id, _ = tiny_model
+    word2id = dict(base_word2id)
+    for row in pages_rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            t = normalize_token(ch)
+            if t not in word2id:
+                word2id[t] = len(word2id)
+    weights = planted_weights(word2id)
+    wb, vb = broadcast_model(spark, weights, word2id)
+
+    tagged = pages_to_tagged(pages_df, wb, vb, lang="zh").localCheckpoint()
+    fused = triples_from_tagged(tagged, ["url", "sent_id"])
+
+    sentences, mentions = pages_to_mentions(pages_df, wb, vb, lang="zh")
+    relational = extract_triples(mentions, sentences, ["url", "sent_id"])
+
+    key = ["subj", "pred", "obj", "url", "sent_id"]
+    got = sorted(tuple(r[k] for k in key) for r in fused.collect())
+    want = sorted(tuple(r[k] for k in key) for r in relational.collect())
+    assert got == want and len(got) > 0
+
+    # flattened mentions from the tagged rows equal the emit='mentions' path
+    m_fused = sorted(
+        tuple(r[k] for k in ["url", "sent_id", "mention", "etype", "begin", "end"])
+        for r in tagged.select("url", "sent_id", F.inline("mentions")).collect()
+    )
+    m_rel = sorted(
+        tuple(r[k] for k in ["url", "sent_id", "mention", "etype", "begin", "end"])
+        for r in mentions.collect()
+    )
+    assert m_fused == m_rel

@@ -88,7 +88,10 @@ def test_html_column_pruned_when_unused(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,zh)" in plan
 
 
-def test_triples_pattern_join_is_broadcast(spark):
+def test_triples_pattern_match_is_codegen_case(spark):
+    """The 6 frozen patterns live in the plan as a priority CASE chain:
+    no pattern join of any kind, and only the mention/sentence joins
+    remain in the relational path."""
     import pandas as pd
 
     from zh_ner_tf_spark.operators.triples import extract_triples
@@ -104,8 +107,35 @@ def test_triples_pattern_join_is_broadcast(spark):
     )
     q = extract_triples(mentions, sentences, ["url", "sent_id"])
     plan = _plan(q)
-    # the ~6-row pattern table must ride a broadcast, never a shuffle join
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "NestedLoopJoin" not in plan
+    assert "CASE WHEN" in plan
+    rows = q.collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [("x", "works_for", "y")]
+
+
+def test_fused_triples_plan_has_no_shuffle(spark):
+    """triples_from_tagged over the tagger's emit='tagged' rows is fully
+    narrow — no Exchange anywhere in the plan."""
+    import pandas as pd
+
+    from zh_ner_tf_spark.operators.triples import triples_from_tagged
+
+    tagged = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"], "sent_id": [0], "sentence": ["x任职y"],
+                "mentions": [[
+                    {"mention": "x", "etype": "PER", "begin": 0, "end": 0},
+                    {"mention": "y", "etype": "ORG", "begin": 3, "end": 3},
+                ]],
+            }
+        ),
+        schema="url string, sent_id int, sentence string, "
+        "mentions array<struct<mention:string,etype:string,begin:int,end:int>>",
+    )
+    q = triples_from_tagged(tagged, ["url", "sent_id"])
+    plan = _plan(q)
+    assert "Exchange" not in plan
     rows = q.collect()
     assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [("x", "works_for", "y")]
 

@@ -18,7 +18,11 @@ Scale notes: the only wide ops are the band groupBy/self-join. Band
 values are near-uniform *except* for very frequent identical surfaces —
 those are exact dups, collapsed by a distinct-on-surface step BEFORE
 banding, which is also the correct semantic (identical strings are the
-same entity key). AQE skew-join handles residual band skew.
+same entity key). Residual band skew (large clusters of DISTINCT
+near-identical strings) is handled by census-gated salting of the band
+self-join (banded_pairs_salted): hot band keys spread their quadratic
+pair work over salt_buckets tasks; AQE skew-join remains as a runtime
+backstop.
 """
 
 from __future__ import annotations
@@ -127,6 +131,69 @@ def minhash_bands_table(
     ).select(key_col, "bv.band_id", "bv.band_value")
 
 
+def banded_pairs_salted(
+    banded: DataFrame,
+    id_col: str,
+    payload_cols: list[str] | None = None,
+    salt_buckets: int | None = None,
+    hot_factor: int | None = None,
+) -> DataFrame:
+    """Self-join of (band_id, band_value, id, payload...) rows into
+    candidate pairs (src, dst, payload_a..., payload_b...), src < dst —
+    with census-gated SALTING of hot band keys (north_rule: "salted
+    repartitioning for skewed hot entities").
+
+    A band key with m members emits m^2 join rows; without salting they
+    all land on one reducer. Cold keys take the plain equi-join; for
+    census-detected hot keys the LEFT side gets salt = hash(id) % S and
+    the RIGHT side is replicated to every salt bucket, so each (a, b)
+    pair still meets exactly once but the m^2 work spreads over S tasks.
+    Provably the same pair set as the unsalted join (tested). The census
+    is one map-side-combinable count over the bands plus a broadcast of
+    the (few) hot keys.
+    """
+    from zh_ner_tf_spark.config import DEFAULT_SALT_BUCKETS, HOT_KEY_FACTOR
+    from zh_ner_tf_spark.operators.skew import hot_key_census
+
+    salt_buckets = salt_buckets or DEFAULT_SALT_BUCKETS
+    hot_factor = hot_factor or HOT_KEY_FACTOR
+    payload_cols = payload_cols or []
+    keys = ["band_id", "band_value"]
+    hot = hot_key_census(banded.select(*keys), keys, hot_factor)
+    hk = F.broadcast(hot.select(*keys).withColumn("_hot", F.lit(True)))
+    marked = banded.join(hk, keys, "left")
+
+    def _sides(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        left = df.select(
+            *keys, F.col(id_col).alias("src"),
+            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        )
+        right = df.select(
+            *keys, F.col(id_col).alias("dst"),
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+        return left, right
+
+    cold_l, cold_r = _sides(marked.filter(F.col("_hot").isNull()).drop("_hot"))
+    cold_pairs = cold_l.join(cold_r, keys)
+
+    hot_rows = marked.filter(F.col("_hot").isNotNull()).drop("_hot")
+    hot_l, hot_r = _sides(hot_rows)
+    hot_l = hot_l.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("src")), F.lit(salt_buckets))
+    )
+    hot_r = hot_r.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    hot_pairs = hot_l.join(hot_r, [*keys, "_salt"]).drop("_salt")
+
+    return (
+        cold_pairs.unionByName(hot_pairs)
+        .filter(F.col("src") < F.col("dst"))
+        .drop(*keys)
+    )
+
+
 def lsh_doc_pairs(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -159,12 +226,9 @@ def lsh_doc_pairs(
     mapping = ch.select("_ch", "_id").join(groups.select("_ch", "_keep"), "_ch")
     reps = groups.select(F.col("_keep").alias("_id"), F.col("_text"))
     bands = minhash_bands_table(reps, "_id", "_text", k, n_hashes, n_bands, seed)
-    a = bands.select("band_id", "band_value", F.col("_id").alias("_ka"))
-    b = bands.select("band_id", "band_value", F.col("_id").alias("_kb"))
     rep_pairs = (
-        a.join(b, ["band_id", "band_value"])
-        .filter(F.col("_ka") < F.col("_kb"))
-        .select("_ka", "_kb")
+        banded_pairs_salted(bands, "_id")
+        .select(F.col("src").alias("_ka"), F.col("dst").alias("_kb"))
         .distinct()
     )
     ma = mapping.select(F.col("_keep").alias("_ka"), F.col("_id").alias("_a"))
@@ -216,18 +280,16 @@ def block_entities(
         ),
         "signature", n_bands, n_hashes,
     )
-    left = banded.select(
-        "band_id", "band_value",
-        F.col("eid").alias("src"), F.col("shingles").alias("sh_a"),
-    )
-    right = banded.select(
-        "band_id", "band_value",
-        F.col("eid").alias("dst"), F.col("shingles").alias("sh_b"),
-    )
     pairs = (
-        left.join(right, ["band_id", "band_value"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", "sh_a", "sh_b")
+        banded_pairs_salted(
+            banded.select("band_id", "band_value", "eid", "shingles"),
+            "eid",
+            ["shingles"],
+        )
+        .select(
+            "src", "dst",
+            F.col("shingles_a").alias("sh_a"), F.col("shingles_b").alias("sh_b"),
+        )
         .dropDuplicates(["src", "dst"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

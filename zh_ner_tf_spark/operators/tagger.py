@@ -423,6 +423,43 @@ def make_mention_udf(
     return fn
 
 
+def make_tagged_udf(
+    weights_bc, vocab_bc, id_cols: list[str], chars_col: str, dtype=np.float64,
+    use_crf: bool = True,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """UDF emitting ONE row per sentence carrying the sentence text plus
+    its mention array: id_cols..., <chars_col>, mentions array<struct>.
+
+    This is the zero-shuffle handoff to per-sentence consumers (triple
+    extraction): downstream pairing/gap logic stays narrow instead of
+    re-joining mentions against sentences on the sentence key."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W, vocab = weights_bc.value, vocab_bc.value
+        for pdf in batches:
+            labels, lens, chars_flat, keep = _run_batch(pdf, chars_col, W, vocab, dtype, use_crf)
+            kept = pdf.loc[keep.tolist() if hasattr(keep, "tolist") else keep]
+            kept = kept.reset_index(drop=True)
+            if labels.size == 0:
+                yield pd.DataFrame(columns=[*id_cols, chars_col, "mentions"])
+                continue
+            spans = spans_from_labels(labels, lens, chars_flat)
+            per_row: list[list[dict]] = [[] for _ in range(len(kept))]
+            for r in spans.itertuples(index=False):
+                per_row[int(r.row)].append({
+                    "mention": r.mention, "etype": r.etype,
+                    "begin": int(r.begin), "end": int(r.end),
+                })
+            out = kept[[*id_cols, chars_col]].copy()
+            out["mentions"] = pd.Series(per_row, dtype=object)
+            yield out
+
+    return fn
+
+
+MENTION_STRUCT = "array<struct<mention:string,etype:string,begin:int,end:int>>"
+
+
 def tag_sentences(
     df: DataFrame,
     weights_bc,
@@ -438,6 +475,10 @@ def tag_sentences(
     emit='tags'     -> id_cols..., tags array<string>
     emit='mentions' -> id_cols..., mention string, etype string,
                        begin int, end int
+    emit='tagged'   -> id_cols..., <chars_col> string, mentions
+                       array<struct<mention,etype,begin,end>> (one row
+                       per sentence — the narrow handoff for fused
+                       per-sentence consumers like triple extraction)
     """
     id_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -449,6 +490,9 @@ def tag_sentences(
     elif emit == "mentions":
         fn = make_mention_udf(weights_bc, vocab_bc, id_cols, chars_col, dtype, use_crf)
         schema = f"{id_schema}, mention string, etype string, begin int, end int"
+    elif emit == "tagged":
+        fn = make_tagged_udf(weights_bc, vocab_bc, id_cols, chars_col, dtype, use_crf)
+        schema = f"{id_schema}, {chars_col} string, mentions {MENTION_STRUCT}"
     else:
         raise ValueError(f"emit={emit!r}")
     return df.select(*id_cols, chars_col).mapInPandas(fn, schema=schema)

@@ -3,14 +3,25 @@ north_star). The reference emits bare mention strings (utils.py:≈10-82
 [R]); the graft pairs mentions within a sentence and matches the frozen
 connective-pattern table against the text between them.
 
-Spark shape: a self-join of mentions on the sentence key — Catalyst plans
-it as one shuffle on (id...), and the pattern table is a broadcast join
-(it is ~6 rows). The gap text comes from ``substring`` on the sentence
-carried alongside — no second scan of pages.
+Frozen semantics: ONE triple per qualifying (subject mention, object
+mention) pair — subject before object in the same sentence, gap text no
+longer than max_gap, first pattern (priority order) whose regex matches
+the gap supplies the predicate. Pair-level multiplicity feeds edge
+weights (each co-occurrence counts once).
 
-Skew note: sentence keys are near-uniform (few mentions per sentence), so
-the self-join is safe; the *entity*-keyed skew shows up later, in
-blocking/canonicalization, and is handled there (operators/skew.py).
+Spark shapes, preferred first:
+  * ``triples_from_tagged`` — ZERO-shuffle: consumes the tagger's
+    emit='tagged' rows (sentence + mention array in one row), pairs via
+    two narrow explodes, matches patterns with a priority WHEN chain.
+    Per-sentence work never needs a shuffle; at 10^12 pages this is the
+    difference between a free stage and re-shuffling every sentence.
+  * ``extract_triples`` — relational fallback for independently stored
+    mention/sentence tables: a self-join of mentions on the sentence key
+    plus one join to sentences. Sentence keys are near-uniform (few
+    mentions per sentence), so the self-join is skew-safe; entity-keyed
+    skew appears later in blocking/canonicalization (operators/skew.py).
+    The pattern table is a WHEN chain here too — 6 frozen rows belong in
+    the plan as a codegen'd CASE, not even a broadcast join.
 """
 
 from __future__ import annotations
@@ -30,6 +41,18 @@ def pattern_table(spark) -> DataFrame:
     )
 
 
+def _pred_chain(gap: F.Column) -> F.Column:
+    """First matching frozen pattern wins: a priority-ordered WHEN chain
+    (codegen'd CASE — short-circuits, no join, no min_by aggregate)."""
+    chain = None
+    for pred, regex in TRIPLE_PATTERNS:
+        cond = F.regexp_count(gap, F.lit(regex)) > 0
+        chain = (
+            F.when(cond, F.lit(pred)) if chain is None else chain.when(cond, F.lit(pred))
+        )
+    return chain
+
+
 def extract_triples(
     mentions: DataFrame,
     sentences: DataFrame,
@@ -40,15 +63,9 @@ def extract_triples(
     max_gap: int = TRIPLE_MAX_GAP,
 ) -> DataFrame:
     """mentions(id..., mention, etype, begin, end) + sentences(id...,
-    sentence) -> triples(subj, pred, obj, id...).
-
-    Semantics (frozen): for each ordered pair (subject mention, object
-    mention) in one sentence with subject before object, gap text =
-    sentence[end_s+1 .. begin_o-1]; the first pattern (priority order)
-    whose regex matches the gap yields (subj, pred, obj). Gap longer than
-    max_gap never matches.
-    """
-    spark = mentions.sparkSession
+    sentence) -> triples(subj, pred, obj, id...). See module docstring
+    for the frozen pair-level semantics; prefer ``triples_from_tagged``
+    when the tagger output is available."""
     subs = mentions.filter(F.col("etype").isin(*subj_types)).select(
         *id_cols,
         F.col("mention").alias("subj"),
@@ -74,15 +91,61 @@ def extract_triples(
             F.col("o_begin") - F.col("s_end") - 1,
         ).alias("gap"),
     )
-    pats = F.broadcast(pattern_table(spark))
-    matched = with_gap.join(
-        pats, F.regexp_count(F.col("gap"), F.col("connective_regex")) > 0, "inner"
+    return (
+        with_gap.withColumn("pred", _pred_chain(F.col("gap")))
+        .filter(F.col("pred").isNotNull())
+        .select("subj", "pred", "obj", *id_cols)
     )
-    # first matching pattern wins: min priority per (pair)
-    best = matched.groupBy(*id_cols, "subj", "obj", "gap").agg(
-        F.min_by("pred", "priority").alias("pred")
+
+
+def triples_from_tagged(
+    tagged: DataFrame,
+    id_cols: list[str],
+    sentence_col: str = "sentence",
+    mentions_col: str = "mentions",
+    subj_types: tuple[str, ...] = ("PER",),
+    obj_types: tuple[str, ...] = ("ORG", "LOC"),
+    max_gap: int = TRIPLE_MAX_GAP,
+) -> DataFrame:
+    """Zero-shuffle triple extraction over the tagger's emit='tagged'
+    rows (id..., sentence, mentions array<struct>): two narrow explodes
+    build the subject x object pairs per sentence, the gap comes from a
+    substring of the sentence already in the row, and the predicate is
+    the priority WHEN chain. Identical output to ``extract_triples`` on
+    the flattened mentions (tested)."""
+    subs = F.filter(
+        F.col(mentions_col), lambda m: m["etype"].isin(*subj_types)
     )
-    return best.select("subj", "pred", "obj", *id_cols)
+    objs = F.filter(
+        F.col(mentions_col), lambda m: m["etype"].isin(*obj_types)
+    )
+    a = tagged.select(
+        *id_cols,
+        F.col(sentence_col).alias("_sent"),
+        objs.alias("_objs"),
+        F.explode(subs).alias("_s"),
+    )
+    b = a.select(
+        *id_cols, "_sent", "_s", F.explode("_objs").alias("_o")
+    ).filter(
+        (F.col("_o.begin") > F.col("_s.end"))
+        & ((F.col("_o.begin") - F.col("_s.end") - 1) <= max_gap)
+    )
+    gap = F.substring(
+        F.col("_sent"),
+        F.col("_s.end") + 2,
+        F.col("_o.begin") - F.col("_s.end") - 1,
+    )
+    return (
+        b.withColumn("pred", _pred_chain(gap))
+        .filter(F.col("pred").isNotNull())
+        .select(
+            F.col("_s.mention").alias("subj"),
+            "pred",
+            F.col("_o.mention").alias("obj"),
+            *id_cols,
+        )
+    )
 
 
 def triple_prf(got: DataFrame, golden: DataFrame, keys: list[str]) -> dict[str, float]:

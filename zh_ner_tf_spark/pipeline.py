@@ -4,10 +4,11 @@
     -> lang filter                      (predicate pushdown into scan)
     -> html->text extraction            (Arrow pandas UDF, NULL rows only)
     -> sentence split                   (JVM-side, narrow)
-    -> BiLSTM-CRF tagger                (mapInPandas, broadcast weights)
-    -> mentions(url, sent_id, mention, etype, begin, end)
-    -> dependency-pattern triples       (sentence self-join + broadcast
-                                         pattern table)
+    -> BiLSTM-CRF tagger                (mapInPandas, broadcast weights;
+                                         emits sentence + mention array)
+    -> dependency-pattern triples       (narrow explodes over the tagged
+                                         rows + priority CASE — zero
+                                         shuffle)
     -> MinHash-LSH blocking             (band self-join)
     -> connected components             (iterative joins)
     -> nodes / edges tables             (parquet; Iceberg writeTo behind
@@ -25,18 +26,21 @@ from zh_ner_tf_spark.operators.components import connected_components
 from zh_ner_tf_spark.operators.extract_text import with_extracted_text
 from zh_ner_tf_spark.operators.sentences import split_sentences
 from zh_ner_tf_spark.operators.tagger import broadcast_model, tag_sentences
-from zh_ner_tf_spark.operators.triples import extract_triples
+from zh_ner_tf_spark.operators.triples import extract_triples, triples_from_tagged
 
 
-def pages_to_mentions(
+def pages_to_tagged(
     pages: DataFrame,
     weights_bc,
     vocab_bc,
     lang: str | None = "zh",
     dtype=None,
-) -> tuple[DataFrame, DataFrame]:
-    """pages -> (sentences, mentions). Returns sentences too because the
-    triple extractor needs the sentence text for connective matching."""
+) -> DataFrame:
+    """pages -> tagged sentences: (url, sent_id, sentence, mentions
+    array<struct<mention,etype,begin,end>>), one row per non-empty
+    sentence. The whole prefix — lang filter (pushed into the scan),
+    html->text, sentence split, tagger — is NARROW: no shuffle between
+    the pages scan and the tagged rows, at any scale."""
     df = pages
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
@@ -49,14 +53,40 @@ def pages_to_mentions(
     # pre-sort stage needed, and it works under any partitioning.
     import numpy as np
 
-    mentions = tag_sentences(
+    return tag_sentences(
         sentences,
         weights_bc,
         vocab_bc,
         id_cols=["url", "sent_id"],
         chars_col="sentence",
-        emit="mentions",
+        emit="tagged",
         dtype=dtype or np.float64,
+    )
+
+
+def pages_to_mentions(
+    pages: DataFrame,
+    weights_bc,
+    vocab_bc,
+    lang: str | None = "zh",
+    dtype=None,
+) -> tuple[DataFrame, DataFrame]:
+    """pages -> (sentences, mentions) as two independent lineages (the
+    tagger runs only in the mentions branch). Kept for consumers that
+    store mentions and sentences as separate tables; the fused pipeline
+    uses pages_to_tagged + triples_from_tagged and never shuffles."""
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    df = with_extracted_text(df).select("url", "text")
+    sentences = split_sentences(df, "text", ["url"]).select(
+        "url", "sent_id", "sentence"
+    )
+    import numpy as np
+
+    mentions = tag_sentences(
+        sentences, weights_bc, vocab_bc, id_cols=["url", "sent_id"],
+        chars_col="sentence", emit="mentions", dtype=dtype or np.float64,
     )
     return sentences, mentions
 
@@ -64,14 +94,22 @@ def pages_to_mentions(
 def mentions_to_graph(
     mentions: DataFrame, sentences: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """mentions + sentences -> (triples, nodes, edges).
+    """mentions + sentences -> (triples, nodes, edges) via the relational
+    triple extractor (for independently stored mention/sentence tables)."""
+    triples = extract_triples(mentions, sentences, ["url", "sent_id"])
+    nodes, edges = graph_from_mentions(mentions, triples)
+    return triples, nodes, edges
+
+
+def graph_from_mentions(
+    mentions: DataFrame, triples: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """mentions + triples -> (nodes, edges).
 
     nodes: canon_id, surface, etype, freq — canonicalized via
     MinHash-LSH blocking + connected components over surface similarity.
     edges: src/dst canon ids + pred + weight.
     """
-    triples = extract_triples(mentions, sentences, ["url", "sent_id"])
-
     # Hot-entity skew handling (BASELINE.json north_rule): the surface-
     # frequency aggregation is the skewed groupBy at crawl scale (one
     # surface can appear 10^9 times), so it runs as the salted two-phase
@@ -117,7 +155,7 @@ def mentions_to_graph(
         .groupBy("src", "dst", "pred")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
-    return triples, nodes, edges
+    return nodes, edges
 
 
 def run_pipeline(
@@ -128,9 +166,18 @@ def run_pipeline(
     lang: str | None = "zh",
     dtype=None,
 ) -> dict[str, DataFrame]:
+    """The fused flagship pipeline: ONE tagger pass emits sentence +
+    mention-array rows (localCheckpoint'd — every downstream consumer
+    reads the materialized tagged rows instead of re-running the UDF),
+    triples extract with zero shuffles, and only the graph stage
+    (frequencies, blocking, components, edge resolution) shuffles — on
+    entity keys, where the skew handling lives."""
     wb, vb = broadcast_model(spark, weights, word2id)
-    sentences, mentions = pages_to_mentions(pages, wb, vb, lang, dtype)
-    triples, nodes, edges = mentions_to_graph(mentions, sentences)
+    tagged = pages_to_tagged(pages, wb, vb, lang, dtype).localCheckpoint()
+    sentences = tagged.select("url", "sent_id", "sentence")
+    mentions = tagged.select("url", "sent_id", F.inline("mentions"))
+    triples = triples_from_tagged(tagged, ["url", "sent_id"])
+    nodes, edges = graph_from_mentions(mentions, triples)
     return {
         "sentences": sentences,
         "mentions": mentions,
