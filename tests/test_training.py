@@ -102,7 +102,12 @@ def test_full_model_gradient_finite_difference(use_crf):
 
 
 def test_clip_and_optimizers():
+    from zh_ner_tf_spark.model.train import clip_by_value
+
     g = {k: np.full((2, 2), 3.0) for k in WEIGHT_KEYS}
+    # reference rule: per-element value clip
+    cv = clip_by_value({"a": np.array([-9.0, 2.0, 9.0])}, clip=5.0)
+    assert cv["a"].tolist() == [-5.0, 2.0, 5.0]
     clipped = clip_by_global_norm(g, clip_norm=1.0)
     gn = np.sqrt(sum((v * v).sum() for v in clipped.values()))
     assert abs(gn - 1.0) < 1e-12

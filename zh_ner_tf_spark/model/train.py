@@ -3,8 +3,8 @@ loss), #14 (masked softmax cross-entropy), #17 (optimizer step with
 global-norm clipping).
 
 The reference trains with ``tf.contrib.crf.crf_log_likelihood`` +
-``AdamOptimizer`` + ``clip_by_global_norm`` (model.py:≈102-135 [R],
-clip=5.0 / lr=0.001 from main.py argparse [R]). Here the exact same math
+``AdamOptimizer`` + per-element ``clip_by_value(±clip)`` (model.py:≈102-135
+[R], clip=5.0 / lr=0.001 from main.py argparse [R]). Here the exact same math
 is implemented in NumPy over the engine's weight dict (float64
 internally; finite-difference-tested), with a Spark data-parallel
 gradient operator for scale:
@@ -221,9 +221,19 @@ def batch_loss_and_grads(
 # --------------------------------------------------------------------------
 # optimizer (#17): global-norm clip + SGD / Adam (reference defaults)
 # --------------------------------------------------------------------------
+def clip_by_value(
+    grads: dict[str, np.ndarray], clip: float = 5.0
+) -> dict[str, np.ndarray]:
+    """The reference's clip rule: per-element clip_by_value(±clip)
+    (model.py:≈117-135 trainstep_op [R], clip_grad=5.0 main.py argparse)."""
+    return {k: np.clip(v, -clip, clip) for k, v in grads.items()}
+
+
 def clip_by_global_norm(
     grads: dict[str, np.ndarray], clip_norm: float = 5.0
 ) -> dict[str, np.ndarray]:
+    """Global-norm clipping (the more common modern rule; offered beside
+    the reference's per-element clip_by_value)."""
     gn = float(np.sqrt(sum(float((v * v).sum()) for v in grads.values())))
     if gn <= clip_norm or gn == 0.0:
         return grads
@@ -356,8 +366,9 @@ def train(
     optimizer: str = "adam",
 ) -> tuple[dict[str, np.ndarray], list[float]]:
     """Synchronous data-parallel training loop (reference defaults:
-    Adam, lr=0.001, clip=5.0 [R] main.py argparse). Re-broadcasts the
-    updated weights each epoch; returns (weights, per-epoch mean loss)."""
+    Adam, lr=0.001, per-element clip_by_value(±5.0) [R] main.py
+    argparse + model.py trainstep_op). Re-broadcasts the updated weights
+    each epoch; returns (weights, per-epoch mean loss)."""
     adam = AdamState(lr=lr)
     losses = []
     for _ in range(epochs):
@@ -371,7 +382,7 @@ def train(
         if n == 0:
             break
         mean_grads = {k: grads[k] / n for k in WEIGHT_KEYS}
-        mean_grads = clip_by_global_norm(mean_grads, clip)
+        mean_grads = clip_by_value(mean_grads, clip)
         if optimizer == "adam":
             weights = adam.step(weights, mean_grads)
         else:
