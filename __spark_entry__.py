@@ -587,6 +587,59 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training surface (#13/#17) through the driver gate: 3 epochs
+    of Spark data-parallel CRF training (mapInPandas partial gradients,
+    Adam + the reference's clip_by_value) on rule-labeled document
+    prefixes must strictly reduce the mean loss. The outcome — not the
+    float loss — is the checked value, so partition-order float noise
+    can't flake the gate; the oracle is the constant truth table."""
+    import pandas as pd
+
+    from zh_ner_tf_spark.model.train import train
+    from zh_ner_tf_spark.model.weights import init_weights
+    from zh_ner_tf_spark.oracle import normalize_token
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.substring("text", 1, 80).alias("sentence"))
+    )
+    # gold tags: the letter-run rule (every maximal ASCII-letter run is
+    # a PER span) — same frozen rule the tagger oracles use
+    rows = docs.collect()
+    data = []
+    vocab = {PAD_TOKEN: 0}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        sent = r["sentence"]
+        if not sent:
+            continue
+        tags = []
+        prev_letter = False
+        for ch in sent:
+            is_letter = ("a" <= ch <= "z") or ("A" <= ch <= "Z")
+            tags.append(
+                ("I-PER" if prev_letter else "B-PER") if is_letter else "O"
+            )
+            prev_letter = is_letter
+            vocab.setdefault(normalize_token(ch), len(vocab))
+        data.append((sent, tags))
+    for tok in (NUM_TOKEN, ENG_TOKEN, UNK_TOKEN):
+        vocab.setdefault(tok, len(vocab))
+    df = spark.createDataFrame(
+        pd.DataFrame(data, columns=["sentence", "tags"])
+    ).repartition(8)
+    weights = init_weights(len(vocab), 8, 8, seed=SEED)
+    _, losses = train(spark, df, weights, vocab, epochs=3, lr=0.05)
+    return spark.createDataFrame(
+        [(
+            len(losses),
+            1 if losses[-1] < losses[0] else 0,
+        )],
+        "n_epochs bigint, improved bigint",
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows in batch (streaming-adjacent semantics): a new
     session starts after a >30-minute gap per user; session ids via
@@ -718,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_lineitem": q_cube_lineitem,
         "pivot_order_status": q_pivot_order_status,
         "set_ops_customers": q_set_ops_customers,
+        "train_descent": q_train_descent,
         "cc_one_iteration": q_cc_one_iteration,
         "cc_full": q_cc_full,
     }
@@ -1201,6 +1255,13 @@ SELECT o_orderpriority,
        sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
        sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_P
 FROM orders GROUP BY o_orderpriority
+"""
+
+    # training descent: the engine emits the OUTCOME (strict loss
+    # decrease over 3 data-parallel Adam epochs); the oracle is the
+    # constant truth table the training contract promises.
+    fam_sqls["train_descent"] = """
+SELECT 3::BIGINT AS n_epochs, 1::BIGINT AS improved
 """
 
     fam_sqls["set_ops_customers"] = """

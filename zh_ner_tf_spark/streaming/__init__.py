@@ -1,14 +1,19 @@
-"""Streaming — documented non-goal (SURVEY.md §2.B).
+"""Streaming surface.
 
-The reference is pure batch: its only interactive surface is the demo
-REPL (main.py:≈93-120 [R]), a stdin loop, not a stream. The graft's
-north_rule is batch-with-exact-resume (plans/lineage.py), so no
-Structured Streaming operator is part of the correctness surface.
+The reference is pure batch (its only interactive surface is the demo
+REPL, main.py:≈93-120 [R]) and the graft's north_rule is batch-with-
+exact-resume, so streaming is NOT a correctness gate. Provided, with
+batch-equivalence tests, because the brief's execution-model bullet
+asks for it:
 
-``tag_stream`` below is the one-liner that would attach the tagger to a
-stream if a deployment wanted it: the tagger UDF is stateless per row
-(padding-invariant, broadcast weights), so it drops into ``foreachBatch``
-unchanged. Provided for API completeness; exercised by a smoke test only.
+  * ``tag_stream`` — the stateless tagger attached to a stream (the
+    UDF is padding-invariant with broadcast weights, so it drops in
+    unchanged).
+  * ``stateful.windowed_event_counts`` — watermarked tumbling-window
+    aggregation for late data.
+  * ``stateful.running_user_totals_stream`` — custom stateful operator
+    via ``applyInPandasWithState`` (state carries across micro-batches;
+    tested under multi-batch availableNow).
 """
 
 from __future__ import annotations

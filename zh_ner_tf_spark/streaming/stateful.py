@@ -1,0 +1,91 @@
+"""Structured Streaming operators for the events stream (graft brief:
+"Structured Streaming for streams; watermarks + windowed aggs for late
+data; applyInPandasWithState for custom stateful operators").
+
+The reference is pure batch, so these are graft extensions with a
+batch-equivalence contract: run over a bounded stream (availableNow),
+every operator's final result must equal its batch twin — that is what
+the tests pin.
+
+Scale notes: the windowed aggregation is the standard shuffle-on-
+(window, key) stateful agg with watermark-bounded state; the custom
+stateful operator keeps one small state row per user (running count /
+value sum), partitioned by user — state size is O(distinct keys), and
+late data past the watermark is dropped by Spark's state manager.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark for late
+    data. Works on a stream or a batch frame (same plan either way)."""
+    df = events
+    ts = F.col("ts").cast("timestamp")
+    df = df.withColumn("_ts", ts)
+    if df.isStreaming:
+        df = df.withWatermark("_ts", watermark)
+    return (
+        df.groupBy(F.window("_ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("value_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_c",
+        )
+    )
+
+
+_STATE_SCHEMA = "n bigint, value_sum double"
+_OUT_SCHEMA = "user_id bigint, n bigint, value_c bigint"
+
+
+def _update_user(key, pdf_iter, state: GroupState):
+    n, vs = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        vs += float(pdf["value"].sum())
+    state.update((n, vs))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "value_c": [round(vs * 100)]}
+    )
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, value-cents). Emits the cumulative row for each user
+    touched in a micro-batch; the LAST emission per user equals the
+    batch groupBy — the equivalence the test pins across multi-batch
+    availableNow runs."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_totals_batch(events: DataFrame) -> DataFrame:
+    """The batch twin of running_user_totals_stream's final state."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value") * 100).cast("bigint").alias("value_c"),
+    )
