@@ -431,6 +431,26 @@ def main() -> None:
             "tagger": round(min(eff_tag / ce, 1.0), 3),
         }
         result["scaling"] = scaling
+        if os.environ.get("SPARK_GRAFT_DATASCALE", "0") == "1":
+            # Data-size scaling evidence at fixed parallelism: a linear
+            # pipeline holds throughput flat from N to 4N pages.
+            s = _spark(f"local[{CPUS}]")
+            ds = {}
+            for n in (N_SCALING_PAGES, 4 * N_SCALING_PAGES):
+                pages_n = _bench_pages_spark(s, n)
+                best = max(
+                    (run_triples_stage(s, pages_n, weights, word2id)
+                     for _ in range(3)),
+                    key=lambda r: r["triples_per_sec"],
+                )
+                ds[f"pages_{n}"] = best
+            s.stop()
+            ds["throughput_ratio_4x"] = round(
+                ds[f"pages_{4 * N_SCALING_PAGES}"]["triples_per_sec"]
+                / ds[f"pages_{N_SCALING_PAGES}"]["triples_per_sec"],
+                3,
+            )
+            result["data_scaling"] = ds
         _write_baseline_md(result)
 
     print(json.dumps(result))
@@ -531,6 +551,17 @@ def _write_baseline_md(result: dict) -> None:
             f"{evc.get('kg_pipeline')}, tagger {evc.get('tagger')} (the >= 0.8 gate is the cluster",
             "criterion; the ceiling-normalized figure is the sandbox",
             "substitute this box can evidence).",
+        ]
+    if result.get("data_scaling"):
+        ds = result["data_scaling"]
+        lines += [
+            "",
+            "### Data-size scaling (fixed local[%d]; 4x pages)" % CPUS,
+            "",
+            f"`{json.dumps(ds)}`",
+            "",
+            f"throughput ratio at 4x data: {ds.get('throughput_ratio_4x')}"
+            " (1.0 = perfectly linear pipeline)",
         ]
     lines += ["", "## Headline query timings (sec)", ""]
     for k, v in result.get("queries", {}).items():
