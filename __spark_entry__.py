@@ -476,6 +476,28 @@ def q_lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity-blocking operator end to end (char-bigram shingles ->
+    MinHash signature -> bands -> salted self-join -> exact Jaccard
+    filter) over the distinct token vocabulary as surface forms, with
+    poly-hash entity ids — every step integer-or-exact arithmetic, so
+    the whole operator is oracle-checkable."""
+    from zh_ner_tf_spark.functions.hashing import poly_hash
+    from zh_ner_tf_spark.operators.blocking import block_entities
+
+    surfaces = (
+        _tokens(spark, sf_dir)
+        .select("token").distinct()
+        .select(
+            poly_hash(F.col("token")).alias("entity_id"),
+            F.col("token").alias("surface"),
+        )
+    )
+    return block_entities(surfaces).select(
+        F.col("src").cast("bigint"), F.col("dst").cast("bigint"), "jaccard"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.operators.dedup import exact_dup_groups
 
@@ -759,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_pattern": q_triples_pattern,
         "minhash_bands": q_minhash_bands,
         "lsh_doc_pairs": q_lsh_doc_pairs,
+        "entity_blocking": q_entity_blocking,
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -857,6 +880,48 @@ _LANG_SCORES = {
         ("fr", ["le", "la", "les", "et"]),
     )
 }
+
+
+def _entity_blocking_sql() -> str:
+    """DuckDB twin of block_entities over distinct tokens: char-bigram
+    shingles -> 16-hash MinHash -> 8 packed bands -> self-join ->
+    exact shingle-set Jaccard >= 0.5."""
+    fam = hash_family(16, SEED)
+    sh_hash = _poly_sql("substring(surface, i, 2)")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, h -> ({a}::BIGINT * h + {b}) % {MINHASH_PRIME})) AS s{i}"
+        for i, (a, b) in enumerate(fam)
+    )
+    band_structs = ", ".join(
+        f"{{'band_id': {b}::BIGINT, "
+        f"'band_value': s{2*b} * {MINHASH_PRIME}::BIGINT + s{2*b+1}}}"
+        for b in range(8)
+    )
+    return f"""
+WITH surf AS (
+  SELECT DISTINCT tok AS surface
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+e AS (
+  SELECT {_poly_sql('surface')} AS eid, surface,
+         list_distinct([{sh_hash}
+           for i in generate_series(1, greatest(length(surface) - 1, 1))]) AS sh
+  FROM surf
+),
+sig AS (SELECT eid, sh, {sig_exprs} FROM e),
+bnd AS (SELECT eid, sh, unnest([{band_structs}]) AS bv FROM sig),
+p AS (
+  SELECT DISTINCT a.eid AS src, b2.eid AS dst, a.sh AS sha, b2.sh AS shb
+  FROM bnd a JOIN bnd b2 ON a.bv = b2.bv AND a.eid < b2.eid
+)
+SELECT src, dst,
+       round(len(list_intersect(sha, shb))::DOUBLE /
+             len(list_distinct(list_concat(sha, shb)))::DOUBLE, 6) AS jaccard
+FROM p
+WHERE round(len(list_intersect(sha, shb))::DOUBLE /
+            len(list_distinct(list_concat(sha, shb)))::DOUBLE, 6) >= 0.5
+"""
 
 
 def _count_tok_sql(tok: str) -> str:
@@ -1142,6 +1207,8 @@ FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_value = b.band_value
 WHERE a.doc_id < b.doc_id
 """
+
+    fam_sqls["entity_blocking"] = _entity_blocking_sql()
 
     fam_sqls["dedup_exact"] = """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
