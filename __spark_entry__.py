@@ -757,6 +757,29 @@ def q_cc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_long_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a PATH over every orderkey (diameter =
+    |orders|): the adversarial shape for label propagation — naive
+    min-label needs O(diameter) rounds; the engine's pointer-jumping
+    variant must converge in O(log diameter) within its max_iter=50.
+    Closed-form oracle: one component, min orderkey."""
+    from pyspark.sql.window import Window
+
+    from zh_ner_tf_spark.operators.components import connected_components
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("src")
+    )
+    w = Window.orderBy("src")
+    edges = (
+        o.withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+    )
+    return connected_components(edges).select(
+        "node", F.col("component").cast("bigint")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ner_tagger_mentions": q_ner_tagger_mentions,
@@ -797,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_descent": q_train_descent,
         "cc_one_iteration": q_cc_one_iteration,
         "cc_full": q_cc_full,
+        "cc_long_path": q_cc_long_path,
     }
 
 
@@ -1209,6 +1233,12 @@ WHERE a.doc_id < b.doc_id
 """
 
     fam_sqls["entity_blocking"] = _entity_blocking_sql()
+
+    fam_sqls["cc_long_path"] = """
+SELECT o_orderkey::BIGINT AS node,
+       (SELECT min(o_orderkey) FROM orders)::BIGINT AS component
+FROM orders
+"""
 
     fam_sqls["dedup_exact"] = """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
