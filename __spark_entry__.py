@@ -476,6 +476,31 @@ def q_lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion plumbing through the driver gate: document
+    text re-encoded as an opaque binary payload rides the real
+    mapInPandas feature extractor (Arrow binary -> pandas -> fixed-width
+    features). The oracle checks what SQL can express — byte counts and
+    feature-vector width; the sha256 fake-decode VALUES are pinned by
+    pytest (test_multimodal.py)."""
+    from zh_ner_tf_spark.operators.multimodal import extract_media_features
+
+    media = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    feats = extract_media_features(media, dim=8, id_cols=["media_id"])
+    return feats.select(
+        F.col("media_id").cast("bigint"),
+        F.col("n_bytes").cast("bigint"),
+        F.size("features").cast("bigint").alias("n_features"),
+    )
+
+
 def q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The entity-blocking operator end to end (char-bigram shingles ->
     MinHash signature -> bands -> salted self-join -> exact Jaccard
@@ -804,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_pattern": q_triples_pattern,
         "minhash_bands": q_minhash_bands,
         "lsh_doc_pairs": q_lsh_doc_pairs,
+        "media_ingest": q_media_ingest,
         "entity_blocking": q_entity_blocking,
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
@@ -1230,6 +1256,13 @@ SELECT DISTINCT a.doc_id::BIGINT AS src, b.doc_id::BIGINT AS dst
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_value = b.band_value
 WHERE a.doc_id < b.doc_id
+"""
+
+    fam_sqls["media_ingest"] = """
+SELECT doc_id::BIGINT AS media_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       8::BIGINT AS n_features
+FROM documents WHERE doc_id < 200
 """
 
     fam_sqls["entity_blocking"] = _entity_blocking_sql()
