@@ -45,6 +45,8 @@ HEADLINE = [
     "eval_prf1",
     "triples_pattern",
     "minhash_bands",
+    "lsh_doc_pairs",
+    "entity_blocking",
     "simhash",
     "dedup_exact",
     "embedding_topk",

@@ -335,7 +335,7 @@ def distributed_loss_and_grads(
     for r in rows:
         total += r["loss"]
         n += r["n"]
-        with np.load(io_bytes(r["grads"])) as z:
+        with np.load(io.BytesIO(r["grads"])) as z:
             g = {k: z[k] for k in WEIGHT_KEYS}
         if grads is None:
             grads = g
@@ -346,12 +346,6 @@ def distributed_loss_and_grads(
         grads = {k: np.zeros_like(weights_bc.value[k], dtype=np.float64)
                  for k in WEIGHT_KEYS}
     return total, n, grads
-
-
-def io_bytes(b: bytes):
-    import io
-
-    return io.BytesIO(b)
 
 
 def train(

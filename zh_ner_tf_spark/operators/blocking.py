@@ -159,6 +159,11 @@ def banded_pairs_salted(
     hot_factor = hot_factor or HOT_KEY_FACTOR
     payload_cols = payload_cols or []
     keys = ["band_id", "band_value"]
+    # localCheckpoint: the census is a separate action and the cold/hot
+    # branches each re-reference the bands — without materialization the
+    # whole upstream sketch pipeline (gram hashing, signatures) would
+    # re-execute three times per call.
+    banded = banded.localCheckpoint()
     hot = hot_key_census(banded.select(*keys), keys, hot_factor)
     hk = F.broadcast(hot.select(*keys).withColumn("_hot", F.lit(True)))
     marked = banded.join(hk, keys, "left")
@@ -223,7 +228,10 @@ def lsh_doc_pairs(
     groups = ch.groupBy("_ch").agg(
         F.min("_id").alias("_keep"), F.first("_text").alias("_text")
     )
-    mapping = ch.select("_ch", "_id").join(groups.select("_ch", "_keep"), "_ch")
+    # materialized once: referenced by both expansion sides + intra pairs
+    mapping = (
+        ch.select("_ch", "_id").join(groups.select("_ch", "_keep"), "_ch")
+    ).localCheckpoint()
     reps = groups.select(F.col("_keep").alias("_id"), F.col("_text"))
     bands = minhash_bands_table(reps, "_id", "_text", k, n_hashes, n_bands, seed)
     rep_pairs = (
