@@ -478,12 +478,38 @@ def _append_history(result: dict) -> list[str]:
     with open("BENCH/history.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
     lines = ["", "## Run history (shared-host variance band)", ""]
+    hist = []
     try:
         with open("BENCH/history.jsonl") as f:
-            for ln in f.readlines()[-8:]:
-                lines.append(f"- `{ln.strip()}`")
+            for ln in f.readlines():
+                try:
+                    hist.append(json.loads(ln))
+                except ValueError:
+                    pass
+        for h in hist[-8:]:
+            lines.append(f"- `{json.dumps(h)}`")
     except OSError:
         pass
+    if hist:
+        # identical code measures 2x apart minutes apart on this host, so
+        # the best observed per metric is the cleanest hardware-limited
+        # signal; labeled as such, latest run stays the headline above.
+        def _best(key, fn):
+            vals = [h[key] for h in hist if isinstance(h.get(key), (int, float))]
+            return fn(vals) if vals else None
+
+        lines += [
+            "",
+            "### Best observed across runs (same engine, shared-host variance)",
+            "",
+            f"- headline_sec (min): {_best('headline_sec', min)}",
+            f"- triples_stage_per_sec @32 (max): {_best('triples_stage_per_sec', max)}",
+            f"- kg median tps @32 (max): {_best('kg_median_tps_32', max)}",
+            f"- tagger chars/sec (max): {_best('tagger_chars_per_sec', max)}",
+            f"- raw scaling eff, kg pipeline (max): {_best('eff_kg_pipeline', max)}",
+            f"- raw scaling eff, tagger (max): {_best('eff_tagger', max)}",
+            f"- raw scaling eff, round-1 cross-job-max format: {_best('eff_raw', max)}",
+        ]
     return lines
 
 
