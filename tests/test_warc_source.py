@@ -1,0 +1,76 @@
+"""WARC source gates: record grammar, member-wise gzip (Common Crawl's
+layout), response filtering, and end-to-end flow into the html->text
+extract stage."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.sources.warc import parse_warc_records, read_warc
+
+
+def _record(warc_type: str, url: str, date: str, http_body: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + http_body
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return head + b"\r\n" + http + b"\r\n\r\n"
+
+
+BODY_A = "<html><body>你好 world</body></html>".encode()
+BODY_B = b"<html><p>second page</p></html>"
+
+
+def _archive() -> bytes:
+    return (
+        _record("warcinfo", "", "2024-01-01T00:00:00Z", b"software: test")
+        + _record("response", "https://a.example/1", "2024-01-02T03:04:05Z", BODY_A)
+        + _record("request", "https://a.example/1", "2024-01-02T03:04:05Z", b"GET /")
+        + _record("response", "https://b.example/2", "2024-02-03T04:05:06Z", BODY_B)
+    )
+
+
+def test_parse_warc_records_plain_and_member_gzip():
+    recs = list(parse_warc_records(_archive()))
+    assert [r[0] for r in recs] == ["https://a.example/1", "https://b.example/2"]
+    assert recs[0][2] == BODY_A and recs[1][2] == BODY_B
+    assert recs[0][1].isoformat() == "2024-01-02T03:04:05"
+    # Common Crawl compresses each record as its OWN gzip member
+    member_gz = b"".join(
+        gzip.compress(r)
+        for r in (
+            _record("response", "https://a.example/1", "2024-01-02T03:04:05Z", BODY_A),
+            _record("response", "https://b.example/2", "2024-02-03T04:05:06Z", BODY_B),
+        )
+    )
+    recs_gz = list(parse_warc_records(member_gz))
+    assert [(r[0], r[2]) for r in recs_gz] == [
+        ("https://a.example/1", BODY_A),
+        ("https://b.example/2", BODY_B),
+    ]
+
+
+def test_read_warc_to_extracted_text(spark, tmp_path):
+    (tmp_path / "shard0.warc").write_bytes(_archive())
+    (tmp_path / "shard1.warc.gz").write_bytes(gzip.compress(_archive()))
+    pages = read_warc(spark, str(tmp_path) + "/*")
+    rows = {
+        (r["url"], str(r["warc_ts"])): bytes(r["html"]) for r in pages.collect()
+    }
+    # 2 responses per shard x 2 shards
+    assert len(rows) == 2 and pages.count() == 4
+    assert rows[("https://a.example/1", "2024-01-02 03:04:05")] == BODY_A
+
+    from zh_ner_tf_spark.operators.extract_text import with_extracted_text
+
+    texts = {
+        r["url"]: r["text"]
+        for r in with_extracted_text(pages).select("url", "text").collect()
+    }
+    assert "你好 world" in texts["https://a.example/1"]
+    assert "second page" in texts["https://b.example/2"]
