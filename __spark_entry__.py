@@ -721,6 +721,39 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (priority, status), (priority), () totals —
+    the hierarchical twin of the CUBE query."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("price_c"),
+    )
+
+
+def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per order priority, deterministically defined as the
+    lower-middle element under (cents, orderkey) ordering — rank-based,
+    so it cross-checks without interpolation/approx-percentile drift."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("o_orderpriority", F.col("cents").alias("median_c"))
+    )
+
+
 def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot as portable conditional aggregation: order counts per
     priority x status."""
@@ -841,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "sessionize_events": q_sessionize_events,
         "cube_lineitem": q_cube_lineitem,
+        "rollup_orders": q_rollup_orders,
+        "median_order_value": q_median_order_value,
         "pivot_order_status": q_pivot_order_status,
         "set_ops_customers": q_set_ops_customers,
         "train_descent": q_train_descent,
@@ -1377,6 +1412,25 @@ FROM s GROUP BY user_id, session_id
 SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
        sum({cents('l_quantity')})::BIGINT AS qty_c
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+    fam_sqls["rollup_orders"] = """
+SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS price_c
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+    fam_sqls["median_order_value"] = """
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, cents AS median_c
+FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 """
 
     fam_sqls["pivot_order_status"] = """
