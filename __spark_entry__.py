@@ -687,6 +687,34 @@ def q_train_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks; union+window
+    composition, one shuffle on the key): each event picks the most
+    recent order at-or-before its timestamp per user. Oracle = DuckDB's
+    NATIVE ASOF JOIN — the engine must reproduce another engine's
+    built-in time-series join exactly. Right side deduped to one row
+    per (key, ts) (max orderkey) for determinism."""
+    from zh_ner_tf_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            "o_orderkey",
+        )
+    )
+    out = asof_join(ev, od, key="user_id", left_ts="ts", right_ts="ots")
+    return out.select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        F.col("o_orderkey").cast("bigint"),
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows in batch (streaming-adjacent semantics): a new
     session starts after a >30-minute gap per user; session ids via
@@ -872,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "asof_events_orders": q_asof_events_orders,
         "sessionize_events": q_sessionize_events,
         "cube_lineitem": q_cube_lineitem,
         "rollup_orders": q_rollup_orders,
@@ -1412,6 +1441,16 @@ FROM s GROUP BY user_id, session_id
 SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
        sum({cents('l_quantity')})::BIGINT AS qty_c
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+    fam_sqls["asof_events_orders"] = """
+SELECT e.event_id::BIGINT AS event_id, e.user_id::BIGINT AS user_id,
+       o.o_orderkey::BIGINT AS o_orderkey
+FROM events e ASOF JOIN (
+  SELECT o_custkey, o_orderdate::TIMESTAMP AS ots,
+         max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2) o
+ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP >= o.ots
 """
 
     fam_sqls["rollup_orders"] = """

@@ -168,3 +168,49 @@ def test_sentence_split_and_tokenize(spark):
         ).collect()
     }
     assert toks == {(1, 0, "a"), (1, 1, "b"), (1, 2, "c")}
+
+
+def test_asof_join_semantics(spark):
+    """Ties (right row AT left ts matches), no-match rows (dropped on
+    inner, null on left), and most-recent-wins."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, T("2024-01-01 10:00"), "a"),   # ts == right ts: matches r2
+                (1, T("2024-01-01 11:30"), "b"),   # between r2 and r3 -> r2
+                (1, T("2024-01-02 00:00"), "c"),   # after r3 -> r3
+                (2, T("2024-01-01 05:00"), "d"),   # before any right -> none
+                (3, T("2024-01-01 12:00"), "e"),   # key with no right rows
+            ],
+            columns=["k", "ts", "tag"],
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, T("2024-01-01 09:00"), 100),
+                (1, T("2024-01-01 10:00"), 200),
+                (1, T("2024-01-01 12:00"), 300),
+                (2, T("2024-01-01 06:00"), 400),
+            ],
+            columns=["k", "rts", "val"],
+        )
+    )
+    inner = {
+        r["tag"]: r["val"]
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    assert inner == {"a": 200, "b": 200, "c": 300}
+    outer = {
+        r["tag"]: r["val"]
+        for r in asof_join(left, right, "k", "ts", "rts", how="left").collect()
+    }
+    assert outer == {"a": 200, "b": 200, "c": 300, "d": None, "e": None}
