@@ -687,6 +687,33 @@ def q_train_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via the bucketed equi-join
+    composition (operators/rangejoin.py) — order dates against 5-day
+    ship-date windows. The oracle is the plain inequality join, so the
+    bucketing + containment-filter rewrite is checked exactly."""
+    from zh_ner_tf_spark.operators.rangejoin import point_in_interval_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).cast("bigint").alias("pd"),
+    )
+    iv = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.datediff(F.col("l_shipdate"), F.lit("1990-01-01"))
+            .cast("bigint").alias("lo")
+        )
+        .distinct()
+        .select("lo", (F.col("lo") + 5).alias("hi"))
+    )
+    out = point_in_interval_join(o, iv, "pd", "lo", "hi", width=5)
+    return out.select(
+        F.col("o_orderkey").cast("bigint"), F.col("lo").cast("bigint")
+    )
+
+
 def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator Spark lacks; union+window
     composition, one shuffle on the key): each event picks the most
@@ -900,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "range_join_dates": q_range_join_dates,
         "asof_events_orders": q_asof_events_orders,
         "sessionize_events": q_sessionize_events,
         "cube_lineitem": q_cube_lineitem,
@@ -1441,6 +1469,21 @@ FROM s GROUP BY user_id, session_id
 SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
        sum({cents('l_quantity')})::BIGINT AS qty_c
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+    fam_sqls["range_join_dates"] = """
+WITH p AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1990-01-01', o_orderdate::DATE)::BIGINT AS pd
+  FROM orders
+),
+iv AS (
+  SELECT DISTINCT
+         date_diff('day', DATE '1990-01-01', l_shipdate::DATE)::BIGINT AS lo
+  FROM lineitem WHERE l_orderkey % 97 = 0
+)
+SELECT p.o_orderkey::BIGINT AS o_orderkey, iv.lo AS lo
+FROM p JOIN iv ON p.pd >= iv.lo AND p.pd < iv.lo + 5
 """
 
     fam_sqls["asof_events_orders"] = """

@@ -194,3 +194,25 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed composition must plan as a hash/sort-merge EQUI join
+    on the bucket id; the bare inequality join Catalyst would otherwise
+    produce is a BroadcastNestedLoopJoin."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.operators.rangejoin import point_in_interval_join
+
+    pts = spark.createDataFrame(pd.DataFrame({"pid": [1, 2, 3], "x": [5, 12, 40]}))
+    ivs = spark.createDataFrame(
+        pd.DataFrame({"iid": [10, 20], "lo": [4, 11], "hi": [8, 13]})
+    )
+    naive = pts.join(ivs, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+    assert "BroadcastNestedLoopJoin" in _plan(naive)
+    q = point_in_interval_join(pts, ivs, "x", "lo", "hi", width=5)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = sorted((r["pid"], r["iid"]) for r in q.collect())
+    assert got == [(1, 10), (2, 20)]
