@@ -216,3 +216,36 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     got = sorted((r["pid"], r["iid"]) for r in q.collect())
     assert got == [(1, 10), (2, 20)]
+
+
+def test_full_pages_to_triples_prefix_has_no_shuffle(spark):
+    """The flagship pipeline prefix — lang filter, html->text, sentence
+    split, tagger (emit='tagged'), fused triple extraction — is narrow
+    END TO END: zero Exchange before the graph stage."""
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.operators.tagger import broadcast_model
+    from zh_ner_tf_spark.operators.triples import triples_from_tagged
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import pages_to_tagged
+
+    from zh_ner_tf_spark.fixtures.pages import (
+        gen_pages, oracle_extract_text, pages_schema,
+    )
+
+    rows = gen_pages(20, seed=42)
+    word2id = {"<PAD>": 0}
+    for r in rows:
+        text = r["text"] if r["text"] is not None else oracle_extract_text(r["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    wb, vb = broadcast_model(spark, planted_weights(word2id), word2id)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=pages_schema(),
+    )
+    tagged = pages_to_tagged(pages, wb, vb, lang="zh")
+    q = triples_from_tagged(tagged, ["url", "sent_id"])
+    assert "Exchange" not in _plan(q)
+    assert q.count() > 0
