@@ -591,7 +591,15 @@ def _write_baseline_md(result: dict) -> None:
             f"throughput ratio at 4x data: {ds.get('throughput_ratio_4x')}"
             " (1.0 = perfectly linear pipeline)",
         ]
-    lines += ["", "## Headline query timings (sec)", ""]
+    lines += [
+        "",
+        "## Headline query timings (sec)",
+        "",
+        "One sample from a host whose capacity swings >4x minute to minute",
+        "(identical code spans the headline band in Run history below) —",
+        "read against the history band and best-observed figures.",
+        "",
+    ]
     for k, v in result.get("queries", {}).items():
         lines.append(f"- {k}: {v}")
     lines += [
