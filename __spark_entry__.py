@@ -634,13 +634,16 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_train_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training surface (#13/#17) through the driver gate: 3 epochs
-    of Spark data-parallel CRF training (mapInPandas partial gradients,
-    Adam + the reference's clip_by_value) on rule-labeled document
-    prefixes must strictly reduce the mean loss. The outcome — not the
-    float loss — is the checked value, so partition-order float noise
-    can't flake the gate; the oracle is the constant truth table."""
+def _train_descent(spark: SparkSession, sf_dir: str, use_crf: bool) -> DataFrame:
+    """The training surface (#13/#14/#17) through the driver gate: 3
+    epochs of Spark data-parallel training (mapInPandas partial
+    gradients, tree combine, Adam + the reference's clip_by_value) on
+    rule-labeled document prefixes must strictly reduce the mean loss.
+    ``use_crf`` selects the loss branch — CRF log-likelihood (#13,
+    model.py:≈102-108 [R]) or masked softmax CE (#14, model.py:≈109-114
+    [R]). The outcome — not the float loss — is the checked value, so
+    partition-order float noise can't flake the gate; the oracle is the
+    constant truth table."""
     import pandas as pd
 
     from zh_ner_tf_spark.model.train import train
@@ -677,7 +680,9 @@ def q_train_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.DataFrame(data, columns=["sentence", "tags"])
     ).repartition(8)
     weights = init_weights(len(vocab), 8, 8, seed=SEED)
-    _, losses = train(spark, df, weights, vocab, epochs=3, lr=0.05)
+    _, losses = train(
+        spark, df, weights, vocab, epochs=3, lr=0.05, use_crf=use_crf
+    )
     return spark.createDataFrame(
         [(
             len(losses),
@@ -685,6 +690,17 @@ def q_train_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "n_epochs bigint, improved bigint",
     )
+
+
+def q_train_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRF branch (#13) of the training descent gate."""
+    return _train_descent(spark, sf_dir, use_crf=True)
+
+
+def q_train_descent_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Softmax-CE branch (#14, CRF=False): same descent contract, loss
+    normalized over ALL tokens (the reference's masked reduce_mean)."""
+    return _train_descent(spark, sf_dir, use_crf=False)
 
 
 def q_range_join_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_status": q_pivot_order_status,
         "set_ops_customers": q_set_ops_customers,
         "train_descent": q_train_descent,
+        "train_descent_softmax": q_train_descent_softmax,
         "cc_one_iteration": q_cc_one_iteration,
         "cc_full": q_cc_full,
         "cc_long_path": q_cc_long_path,
@@ -1527,6 +1544,10 @@ FROM orders GROUP BY o_orderpriority
     # decrease over 3 data-parallel Adam epochs); the oracle is the
     # constant truth table the training contract promises.
     fam_sqls["train_descent"] = """
+SELECT 3::BIGINT AS n_epochs, 1::BIGINT AS improved
+"""
+
+    fam_sqls["train_descent_softmax"] = """
 SELECT 3::BIGINT AS n_epochs, 1::BIGINT AS improved
 """
 

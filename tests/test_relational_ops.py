@@ -214,3 +214,31 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, "k", "ts", "rts", how="left").collect()
     }
     assert outer == {"a": 200, "b": 200, "c": 300, "d": None, "e": None}
+
+
+def test_asof_join_null_right_payload_is_row_atomic(spark):
+    """A right row whose payload value is legitimately NULL must still
+    win the as-of match as a WHOLE row — the fill must never stitch the
+    null column from an older right row (native ASOF semantics)."""
+    import datetime as dt
+
+    from zh_ner_tf_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, T("2024-01-01 12:00"), "x")], "k int, ts timestamp, tag string"
+    )
+    # newest right row has val=NULL but note='new'; older row has both set.
+    right = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 09:00"), 100, "old"),
+            (1, T("2024-01-01 11:00"), None, "new"),
+        ],
+        "k int, rts timestamp, val int, note string",
+    )
+    rows = asof_join(left, right, "k", "ts", "rts").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the 11:00 row wins as a unit: val stays NULL, never back-fills 100
+    assert r["note"] == "new" and r["val"] is None
+    assert r["rts_matched"] == T("2024-01-01 11:00")

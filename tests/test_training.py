@@ -84,7 +84,7 @@ def test_full_model_gradient_finite_difference(use_crf):
         ([1, 2, 3, 4], [0, 1, 6, 6]),
         ([5, 0, 2], [2, 3, 6]),
     ]
-    _, _, g = batch_loss_and_grads(batch, W, use_crf=use_crf)
+    _, _, _, g = batch_loss_and_grads(batch, W, use_crf=use_crf)
     eps = 1e-6
     for key in WEIGHT_KEYS:
         if key == "transitions" and not use_crf:
@@ -144,7 +144,7 @@ def test_training_converges_on_separable_corpus():
     adam = AdamState(lr=0.05)
     losses = []
     for _ in range(40):
-        total, n, g = batch_loss_and_grads(corpus, W, use_crf=True)
+        total, n, _, g = batch_loss_and_grads(corpus, W, use_crf=True)
         losses.append(total / n)
         mg = clip_by_global_norm({k: g[k] / n for k in WEIGHT_KEYS}, 5.0)
         W = adam.step(W, mg)
@@ -179,14 +179,15 @@ def test_distributed_gradient_equals_sequential(spark):
         pd.DataFrame(sents, columns=["sentence", "tags"])
     ).repartition(5)
     wb, vb = broadcast_model(spark, W, word2id)
-    d_loss, d_n, d_g = distributed_loss_and_grads(df, wb, vb)
+    d_loss, d_n, d_ntok, d_g = distributed_loss_and_grads(df, wb, vb)
 
     pairs = []
     for chars, tags in sents:
         ids = encode_chars(pd.Series(list(chars), dtype=object), word2id)
         pairs.append((ids.tolist(), [TAG2LABEL[t] for t in tags]))
-    s_loss, s_n, s_g = batch_loss_and_grads(pairs, W)
+    s_loss, s_n, s_ntok, s_g = batch_loss_and_grads(pairs, W)
     assert d_n == s_n
+    assert d_ntok == s_ntok
     assert abs(d_loss - s_loss) < 1e-8
     for k in WEIGHT_KEYS:
         assert np.allclose(d_g[k], s_g[k], atol=1e-9), k

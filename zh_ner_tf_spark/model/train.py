@@ -167,17 +167,24 @@ def batch_loss_and_grads(
     batch: Iterable[tuple[list[int], list[int]]],
     W: dict[str, np.ndarray],
     use_crf: bool = True,
-) -> tuple[float, int, dict[str, np.ndarray]]:
-    """(sum-loss, n-sentences, sum-gradients) over [(ids, labels), ...].
+) -> tuple[float, int, int, dict[str, np.ndarray]]:
+    """(sum-loss, n-sentences, n-tokens, sum-gradients) over
+    [(ids, labels), ...].
 
-    Gradients are SUMS over sentences — exactly additive, so partials
+    Gradients and losses are raw SUMS (CRF: per-sentence NLL summed;
+    softmax CE: per-TOKEN CE summed) — exactly additive, so partials
     from different partitions/workers combine by '+' (the distributed
-    contract). The optimizer divides by the global sentence count.
+    contract). The optimizer divides by the matching global count:
+    sentences for CRF (reference: -reduce_mean(log_likelihood)), TOKENS
+    for softmax CE (reference: masked reduce_mean over all tokens in
+    the batch, model.py:≈109-114 [R]) — normalizing per sentence first
+    would weight short sentences' tokens more than the reference does.
     """
     Wd = {k: W[k].astype(np.float64) for k in WEIGHT_KEYS}
     g = _zero_grads(W)
     total = 0.0
     n = 0
+    ntok = 0
     D = Wd["embeddings"].shape[1]
     for ids, labels in batch:
         if len(ids) == 0:
@@ -197,10 +204,9 @@ def batch_loss_and_grads(
             g["transitions"] += dtrans
         else:
             loss, dlogits = softmax_ce_loss_and_grad(logits, y)
-            loss /= len(ids)          # reference: mean over (masked) tokens
-            dlogits /= len(ids)
         total += loss
         n += 1
+        ntok += len(ids)
         g["proj_W"] += hcat.T @ dlogits
         g["proj_b"] += dlogits.sum(axis=0)
         dhcat = dlogits @ Wd["proj_W"].T
@@ -215,7 +221,7 @@ def batch_loss_and_grads(
         g["lstm_bw_bias"] += dbb
         dx = dxf + dxb_r[::-1]
         np.add.at(g["embeddings"], ids_a, dx)
-    return total, n, g
+    return total, n, ntok, g
 
 
 # --------------------------------------------------------------------------
@@ -283,25 +289,38 @@ class AdamState:
 def distributed_loss_and_grads(
     df, weights_bc, vocab_bc, chars_col: str = "sentence",
     tags_col: str = "tags", use_crf: bool = True,
-) -> tuple[float, int, dict[str, np.ndarray]]:
+) -> tuple[float, int, int, dict[str, np.ndarray]]:
     """One synchronous gradient over a DataFrame of (chars_col: string,
     tags_col: array<string>) rows: every partition computes its summed
-    (loss, n, grads) against the broadcast weights in one Arrow pass;
-    the driver '+'-combines the partials (gradients are sums, so this is
-    EXACTLY the sequential batch gradient — tested). Collected payload =
-    one weight-sized npz per partition, not per row."""
+    (loss, n, ntok, grads) against the broadcast weights in one Arrow
+    pass; a second tree-combine stage '+'-sums the per-partition blobs
+    in ~sqrt(P) groups so the driver collects ≤ ceil(sqrt(P)) blobs
+    instead of P (gradients are sums, so this is EXACTLY the sequential
+    batch gradient — tested). That bounds driver ingest at reference-size
+    weights × many partitions; the same treeAggregate shape extends to
+    more levels if P grows further."""
     import io
+    import math as _math
 
     import pandas as pd
 
     from zh_ner_tf_spark.config import TAG2LABEL
     from zh_ner_tf_spark.operators.tagger import encode_chars
 
+    def _dumps(acc: dict[str, np.ndarray]) -> bytes:
+        buf = io.BytesIO()
+        np.savez(buf, **acc)
+        return buf.getvalue()
+
+    def _loads(blob: bytes) -> dict[str, np.ndarray]:
+        with np.load(io.BytesIO(blob)) as z:
+            return {k: z[k] for k in WEIGHT_KEYS}
+
     def part(batches):
         W = weights_bc.value
         vocab = vocab_bc.value
         acc = None
-        total, n = 0.0, 0
+        total, n, ntok = 0.0, 0, 0
         for pdf in batches:
             pairs = []
             for sent, tags in zip(pdf[chars_col], pdf[tags_col]):
@@ -313,9 +332,10 @@ def distributed_loss_and_grads(
                 pairs.append((ids.tolist(), labels))
             if not pairs:
                 continue
-            loss, k, g = batch_loss_and_grads(pairs, W, use_crf)
+            loss, k, tk, g = batch_loss_and_grads(pairs, W, use_crf)
             total += loss
             n += k
+            ntok += tk
             if acc is None:
                 acc = g
             else:
@@ -323,20 +343,47 @@ def distributed_loss_and_grads(
                     acc[key] += g[key]
         if n == 0:
             return
-        buf = io.BytesIO()
-        np.savez(buf, **acc)
-        yield pd.DataFrame({"loss": [total], "n": [n], "grads": [buf.getvalue()]})
+        yield pd.DataFrame(
+            {"loss": [total], "n": [n], "ntok": [ntok], "grads": [_dumps(acc)]}
+        )
 
-    rows = df.select(chars_col, tags_col).mapInPandas(
-        part, schema="loss double, n long, grads binary"
-    ).collect()
-    total, n = 0.0, 0
+    _SCHEMA = "loss double, n long, ntok long, grads binary"
+
+    def combine(batches):
+        acc = None
+        total, n, ntok = 0.0, 0, 0
+        for pdf in batches:
+            for loss, k, tk, blob in zip(
+                pdf["loss"], pdf["n"], pdf["ntok"], pdf["grads"]
+            ):
+                total += float(loss)
+                n += int(k)
+                ntok += int(tk)
+                g = _loads(bytes(blob))
+                if acc is None:
+                    acc = g
+                else:
+                    for key in WEIGHT_KEYS:
+                        acc[key] += g[key]
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"loss": [total], "n": [n], "ntok": [ntok], "grads": [_dumps(acc)]}
+        )
+
+    parts = df.select(chars_col, tags_col).mapInPandas(part, schema=_SCHEMA)
+    n_input_parts = df.rdd.getNumPartitions()
+    fanin = max(1, int(_math.ceil(_math.sqrt(max(1, n_input_parts)))))
+    if n_input_parts > fanin:
+        parts = parts.repartition(fanin).mapInPandas(combine, schema=_SCHEMA)
+    rows = parts.collect()
+    total, n, ntok = 0.0, 0, 0
     grads: dict[str, np.ndarray] | None = None
     for r in rows:
         total += r["loss"]
         n += r["n"]
-        with np.load(io.BytesIO(r["grads"])) as z:
-            g = {k: z[k] for k in WEIGHT_KEYS}
+        ntok += r["ntok"]
+        g = _loads(bytes(r["grads"]))
         if grads is None:
             grads = g
         else:
@@ -345,7 +392,7 @@ def distributed_loss_and_grads(
     if grads is None:
         grads = {k: np.zeros_like(weights_bc.value[k], dtype=np.float64)
                  for k in WEIGHT_KEYS}
-    return total, n, grads
+    return total, n, ntok, grads
 
 
 def train(
@@ -368,18 +415,21 @@ def train(
     for _ in range(epochs):
         wb = spark.sparkContext.broadcast(weights)
         vb = spark.sparkContext.broadcast(word2id)
-        total, n, grads = distributed_loss_and_grads(
+        total, n, ntok, grads = distributed_loss_and_grads(
             df, wb, vb, use_crf=use_crf
         )
         wb.unpersist()
         vb.unpersist()
         if n == 0:
             break
-        mean_grads = {k: grads[k] / n for k in WEIGHT_KEYS}
+        # CRF: -reduce_mean over sentences; softmax CE: masked
+        # reduce_mean over ALL tokens in the batch (reference semantics).
+        denom = n if use_crf else ntok
+        mean_grads = {k: grads[k] / denom for k in WEIGHT_KEYS}
         mean_grads = clip_by_value(mean_grads, clip)
         if optimizer == "adam":
             weights = adam.step(weights, mean_grads)
         else:
             weights = sgd_step(weights, mean_grads, lr)
-        losses.append(total / n)
+        losses.append(total / denom)
     return weights, losses

@@ -15,12 +15,19 @@ matches). ONE shuffle on the join key; no range self-join, no per-key
 Python. Right rows must be unique per (key, ts) for determinism —
 callers dedupe (e.g. max payload per key+ts) first; the operator
 asserts nothing and composes with any upstream aggregation.
+
+Row-atomicity: ALL right payload columns (plus the matched timestamp)
+are packed into ONE struct before the window fill, so a right row whose
+payload value is legitimately NULL still wins the as-of match as a unit
+— the output never stitches columns from different right rows, matching
+native ASOF semantics even with nullable right payloads.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, TimestampType
 from pyspark.sql.window import Window
 
 
@@ -39,14 +46,18 @@ def asof_join(
         raise ValueError(f"how={how!r}")
     l_payload = [c for c in left.columns if c != key]
     r_payload = [c for c in right.columns if c not in (key, right_ts)]
+    # One struct carries the whole right row (payload + matched ts):
+    # last(struct, ignorenulls) fills rows atomically, never per-column.
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in r_payload]
+        + [StructField("_rt", TimestampType())]
+    )
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).cast("timestamp").alias("_t"),
         F.lit(1).alias("_side"),  # left rows sort AFTER right rows at ties
         *[F.col(c).alias(f"_l_{c}") for c in l_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in r_payload],
-        F.lit(None).cast("timestamp").alias("_rt"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -54,8 +65,10 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in l_payload],
-        *[F.col(c).alias(f"_r_{c}") for c in r_payload],
-        F.col(right_ts).cast("timestamp").alias("_rt"),
+        F.struct(
+            *[F.col(c).alias(c) for c in r_payload],
+            F.col(right_ts).cast("timestamp").alias("_rt"),
+        ).alias("_r"),
     )
     w = (
         Window.partitionBy("_k")
@@ -65,16 +78,14 @@ def asof_join(
     filled = l_tag.unionByName(r_tag).select(
         "_k", "_t", "_side",
         *[F.col(f"_l_{c}") for c in l_payload],
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-          for c in r_payload],
-        F.last("_rt", ignorenulls=True).over(w).alias("_rt"),
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     out = filled.filter(F.col("_side") == 1).select(
         F.col("_k").alias(key),
         F.col("_t").alias(left_ts),
         *[F.col(f"_l_{c}").alias(c) for c in l_payload if c != left_ts],
-        *[F.col(f"_r_{c}").alias(c) for c in r_payload],
-        F.col("_rt").alias(f"{right_ts}_matched"),
+        *[F.col("_r")[c].alias(c) for c in r_payload],
+        F.col("_r")["_rt"].alias(f"{right_ts}_matched"),
     )
     if how == "inner":
         out = out.filter(F.col(f"{right_ts}_matched").isNotNull())

@@ -16,6 +16,8 @@ late data past the watermark is dropped by Spark's state manager.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,6 +55,13 @@ _STATE_SCHEMA = "n bigint, value_sum double"
 _OUT_SCHEMA = "user_id bigint, n bigint, value_c bigint"
 
 
+def _half_up(x: float) -> int:
+    """HALF_UP rounding (away from zero at .5), matching Spark's
+    ``F.round`` — Python's built-in round() is banker's rounding and
+    would break the pinned batch-equivalence on .5 boundaries."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
 def _update_user(key, pdf_iter, state: GroupState):
     n, vs = state.get if state.exists else (0, 0.0)
     for pdf in pdf_iter:
@@ -60,7 +69,7 @@ def _update_user(key, pdf_iter, state: GroupState):
         vs += float(pdf["value"].sum())
     state.update((n, vs))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n": [n], "value_c": [round(vs * 100)]}
+        {"user_id": [key[0]], "n": [n], "value_c": [_half_up(vs * 100)]}
     )
 
 
