@@ -504,15 +504,24 @@ def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The entity-blocking operator end to end (char-bigram shingles ->
     MinHash signature -> bands -> salted self-join -> exact Jaccard
-    filter) over the distinct token vocabulary as surface forms, with
-    poly-hash entity ids — every step integer-or-exact arithmetic, so
-    the whole operator is oracle-checkable."""
+    filter) over the distinct token vocabulary as surface forms PLUS a
+    deterministic 's'-suffix near-dup variant of every token of length
+    >= 4 (so band-colliding, Jaccard >= 0.5 pairs provably exist and the
+    salted self-join / pair re-expansion / Jaccard filter are exercised
+    non-vacuously — a token of n >= 4 chars shares all but one bigram
+    with its suffixed form, Jaccard >= (n-1)/n >= 0.75). Poly-hash
+    entity ids; every step integer-or-exact arithmetic, so the whole
+    operator is oracle-checkable."""
     from zh_ner_tf_spark.functions.hashing import poly_hash
     from zh_ner_tf_spark.operators.blocking import block_entities
 
+    toks = _tokens(spark, sf_dir).select("token").distinct()
+    variants = toks.filter(F.length("token") >= 4).select(
+        F.concat(F.col("token"), F.lit("s")).alias("token")
+    )
     surfaces = (
-        _tokens(spark, sf_dir)
-        .select("token").distinct()
+        toks.unionByName(variants)
+        .distinct()
         .select(
             poly_hash(F.col("token")).alias("entity_id"),
             F.col("token").alias("surface"),
@@ -584,10 +593,39 @@ def q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k through the driver gate. The oracle is
+    a FULL DuckDB replica of the algorithm — the seeded hyperplanes are
+    inlined as literals and the signature/banding/candidate-join/rescore
+    pipeline is re-expressed in SQL — so the whole LSH path (signature
+    arithmetic, band explosion, bucket join, dedup, cosine rescoring,
+    ranking) is checked value-exactly, not just against a recall bound."""
+    from zh_ner_tf_spark.operators.similarity import ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk(emb, queries_df, k=10, n_bits=16, n_bands=4).select(
+        F.col("query_id").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "cosine",
+        F.col("rank").cast("bigint"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zh_ner_tf_spark.functions.text import padded_text
+
     docs = _docs(spark, sf_dir)
+    # hoist the doubled-space copy: one projection per row shared by all
+    # 16 marker counts (padded_text docstring has the scale argument)
+    staged = docs.withColumn("_padded", padded_text(F.col("text")))
     return (
-        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        staged.select(
+            "lang",
+            lang_id(F.col("text"), F.col("_padded")).alias("lang_pred"),
+        )
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -939,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
+        "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
@@ -1057,10 +1096,17 @@ def _entity_blocking_sql() -> str:
         for b in range(8)
     )
     return f"""
-WITH surf AS (
-  SELECT DISTINCT tok AS surface
+WITH tok0 AS (
+  SELECT DISTINCT tok
   FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
   WHERE tok <> ''
+),
+surf AS (
+  SELECT DISTINCT surface FROM (
+    SELECT tok AS surface FROM tok0
+    UNION ALL
+    SELECT tok || 's' AS surface FROM tok0 WHERE length(tok) >= 4
+  )
 ),
 e AS (
   SELECT {_poly_sql('surface')} AS eid, surface,
@@ -1080,6 +1126,50 @@ SELECT src, dst,
 FROM p
 WHERE round(len(list_intersect(sha, shb))::DOUBLE /
             len(list_distinct(list_concat(sha, shb)))::DOUBLE, 6) >= 0.5
+"""
+
+
+def _ann_topk_sql() -> str:
+    """DuckDB twin of ann_topk (SRP signatures from the same seeded,
+    round-6 hyperplanes inlined as literals; 16 bits, 4 bands of 4;
+    bucket join; cosine rescore; k=10)."""
+    from zh_ner_tf_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 16, SEED)
+
+    def lit(plane) -> str:
+        return "[" + ", ".join(repr(float(w)) for w in plane) + "]::DOUBLE[]"
+
+    sig_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    band_structs = ", ".join(
+        f"{{'band_id': {b}::BIGINT, "
+        f"'band_value': ((sig >> {b * 4}) & 15)::BIGINT}}"
+        for b in range(4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, ({sig_expr})::BIGINT AS sig FROM e),
+b AS (SELECT vec_id, v, unnest([{band_structs}]) AS bv FROM s),
+p AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id,
+         qb.v AS qv, cb.v AS cv
+  FROM (SELECT * FROM b WHERE vec_id < 5) qb
+  JOIN b cb ON qb.bv = cb.bv
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM p),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cosine, rank
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -1420,6 +1510,8 @@ FROM ranked WHERE rank <= 10
 
     # IVF at full probe is exactly brute force — same oracle
     fam_sqls["ivf_topk_full"] = fam_sqls["embedding_topk"]
+
+    fam_sqls["ann_topk"] = _ann_topk_sql()
 
     fam_sqls["lang_id"] = _lang_id_sql()
 

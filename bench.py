@@ -339,14 +339,30 @@ def main() -> None:
 
     spark = _spark(f"local[{CPUS}]")
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    # Headline queries get the same treatment as the scaling jobs:
+    # REPS_HEADLINE full passes over the list (each query's samples are
+    # spread across the run, so a host-capacity dip hits one rep of many
+    # queries instead of all reps of one), best-of + median reported.
+    # Single-sample headline timings produced 2x phantom "regressions"
+    # on this shared host (r1->r2 triples_pattern).
+    REPS_HEADLINE = 3
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(REPS_HEADLINE):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            samples[name].append(dt)
+            print(f"# rep{rep} {name}: {dt}s", file=sys.stderr)
+    _medq = lambda xs: round(sorted(xs)[len(xs) // 2], 3)  # noqa: E731
+    timings = {name: min(samples[name]) for name in HEADLINE}
     result["queries"] = timings
+    result["queries_median"] = {name: _medq(samples[name]) for name in HEADLINE}
+    result["queries_reps"] = REPS_HEADLINE
     result["value"] = round(sum(timings.values()), 3)
+    result["value_median"] = round(
+        sum(result["queries_median"].values()), 3
+    )
 
     weights, word2id = _pipeline_model()
     pages = _bench_pages(spark, N_BENCH_PAGES)
@@ -465,6 +481,8 @@ def _append_history(result: dict) -> list[str]:
     s = result.get("scaling", {})
     rec = {
         "headline_sec": result.get("value"),
+        "headline_median_sec": result.get("value_median"),
+        "triples_pattern_best": result.get("queries", {}).get("triples_pattern"),
         "triples_per_sec": result.get("triples_per_sec"),
         "triples_stage_per_sec": result.get("triples_stage_per_sec"),
         "tagger_chars_per_sec": result.get("tagger_chars_per_sec"),
@@ -595,16 +613,21 @@ def _write_baseline_md(result: dict) -> None:
         "",
         "## Headline query timings (sec)",
         "",
-        "One sample from a host whose capacity swings >4x minute to minute",
-        "(identical code spans the headline band in Run history below) —",
-        "read against the history band and best-observed figures.",
+        f"Best-of-{result.get('queries_reps', 1)} with reps interleaved"
+        " across the full query list (a host-capacity dip hits one rep of",
+        "many queries, not all reps of one); medians beside. Host capacity",
+        "swings >4x minute to minute — read against the history band.",
         "",
+        "| query | best | median |",
+        "|---|---|---|",
     ]
+    meds = result.get("queries_median", {})
     for k, v in result.get("queries", {}).items():
-        lines.append(f"- {k}: {v}")
+        lines.append(f"| {k} | {v} | {meds.get(k)} |")
     lines += [
         "",
-        f"Total: {result.get('value')}s",
+        f"Total (best-of): {result.get('value')}s | total (median): "
+        f"{result.get('value_median')}s",
         f"KG pipeline: {json.dumps(result.get('kg_pipeline'))}",
         f"Tagger full-size: {json.dumps(result.get('tagger_fullsize'))}",
     ]

@@ -74,3 +74,32 @@ def test_lang_id_and_token_counts(spark):
     )
     assert [r["ws"] for r in tc] == [3, 1]
     assert [r["bpe"] for r in tc] == [3, 4]
+
+
+def test_padded_text_hoist_survives_optimizer(spark):
+    """The doubled-space copy must be materialized ONCE per row when
+    hoisted: exactly one regexp_replace in the optimized plan for both
+    lang_id (16 marker counts) and quality_features (4 stopword counts)
+    — CollapseProject must not re-inline the multi-referenced alias."""
+    from zh_ner_tf_spark.functions.text import (
+        padded_text,
+        quality_features,
+    )
+
+    # spark.range + non-foldable concat: a pandas LocalRelation would be
+    # constant-folded away and the plan assertion would test nothing
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.col("id").cast("string"), F.lit(" the cat and the dog"))
+        .alias("text"),
+    )
+    staged = df.withColumn("_padded", padded_text(F.col("text")))
+    lang_plan = (
+        staged.select(lang_id(F.col("text"), F.col("_padded")).alias("l"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert lang_plan.count("regexp_replace") == 1
+    qf_plan = (
+        quality_features(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert qf_plan.count("regexp_replace") == 1

@@ -74,3 +74,59 @@ def test_read_warc_to_extracted_text(spark, tmp_path):
     }
     assert "你好 world" in texts["https://a.example/1"]
     assert "second page" in texts["https://b.example/2"]
+
+
+def test_invalid_content_length_is_skipped_not_resynced_in_body():
+    """A record with a missing/unparsable Content-Length is dropped and
+    the scanner resyncs at the next \\r\\n\\r\\nWARC/ boundary — a
+    literal 'WARC/' inside an HTTP body must never spawn a garbage
+    pseudo-record."""
+    poisoned_body = b"<html>see WARC/1.0 spec at WARC/ path</html>"
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + poisoned_body
+    bad = (  # Content-Length header absent entirely
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+    unparsable = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad2.example/\r\n"
+        b"Content-Length: banana\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+    good = _record(
+        "response", "https://good.example/", "2024-01-02T00:00:00Z", BODY_B
+    )
+    recs = list(parse_warc_records(bad + unparsable + good))
+    assert [r[0] for r in recs] == ["https://good.example/"]
+    assert recs[0][2] == BODY_B
+    # and a VALID record whose body contains 'WARC/' parses intact
+    recs2 = list(
+        parse_warc_records(
+            _record("response", "https://ok.example/", "2024-01-01T00:00:00Z",
+                    poisoned_body)
+            + good
+        )
+    )
+    assert [(r[0]) for r in recs2] == ["https://ok.example/",
+                                       "https://good.example/"]
+    assert recs2[0][2] == poisoned_body
+
+
+def test_gzip_record_straddling_member_edge():
+    """Member-at-a-time decompression must carry partial records across
+    member boundaries (defensive: Common Crawl is one record per member,
+    but the parser may not corrupt other layouts)."""
+    rec_a = _record("response", "https://a.example/1",
+                    "2024-01-02T03:04:05Z", BODY_A)
+    rec_b = _record("response", "https://b.example/2",
+                    "2024-02-03T04:05:06Z", BODY_B)
+    blob = rec_a + rec_b
+    cut = len(rec_a) + 7  # split INSIDE rec_b's header block
+    gz = gzip.compress(blob[:cut]) + gzip.compress(blob[cut:])
+    recs = list(parse_warc_records(gz))
+    assert [(r[0], r[2]) for r in recs] == [
+        ("https://a.example/1", BODY_A),
+        ("https://b.example/2", BODY_B),
+    ]

@@ -29,24 +29,51 @@ CJK_RANGE = "[\\u4e00-\\u9fff]"
 STOPWORDS = ["the", "a", "of", "and"]
 
 
-def _count_token(text: Column, tok: str) -> Column:
+def padded_text(text: Column) -> Column:
+    """The doubled-space, space-bracketed copy of ``text`` that whole-
+    word counting splits against. Counting N tokens evaluates this once
+    per token if inlined; hoist it into its OWN projection (a
+    ``withColumn`` the optimizer cannot collapse away — CollapseProject
+    keeps multi-referenced non-cheap aliases) so the full-text-sized
+    string is materialized once per row, not once per token. At 100 TB
+    that is ~20x less transient string bandwidth in the hottest scan
+    projection."""
+    return F.concat(F.lit(" "), F.regexp_replace(text, " ", "  "), F.lit(" "))
+
+
+def _count_in_padded(padded: Column, tok: str) -> Column:
     # Whole-word occurrence count, INCLUDING adjacent repeats ("of of of"
-    # counts 3): double every space first so neighbouring occurrences no
-    # longer share a delimiter, then count non-overlapping " tok " splits.
-    # (A lookaround regex would also work engine-side, but DuckDB's RE2
-    # oracle has no lookarounds — this form is expressible identically in
-    # both dialects; see _count_tok_sql in __spark_entry__.py.)
-    padded = F.concat(F.lit(" "), F.regexp_replace(text, " ", "  "), F.lit(" "))
+    # counts 3): every space is doubled in `padded` so neighbouring
+    # occurrences no longer share a delimiter; count non-overlapping
+    # " tok " splits. (A lookaround regex would also work engine-side,
+    # but DuckDB's RE2 oracle has no lookarounds — this form is
+    # expressible identically in both dialects; see _count_tok_sql in
+    # __spark_entry__.py.)
     return (F.size(F.split(padded, f" {tok} ")) - 1).cast("bigint")
 
 
-def lang_id(text: Column) -> Column:
+def _count_token(text: Column, tok: str) -> Column:
+    # One-off form; for counting many tokens hoist padded_text() first.
+    return _count_in_padded(padded_text(text), tok)
+
+
+def lang_id(text: Column, padded: Column | None = None) -> Column:
     """Deterministic language guess: CJK chars -> zh; else the marker
     inventory with the highest whole-word hit count (ties broken by
-    alphabetical lang order); no hits -> 'und'."""
+    alphabetical lang order); no hits -> 'und'. Pass ``padded`` (a
+    hoisted ``padded_text(text)`` column) to share one padded copy
+    across all marker counts."""
+    if padded is None:
+        padded = padded_text(text)
     zh = F.regexp_count(text, F.lit(CJK_RANGE)) > 0
     scores = [
-        (lang, sum((_count_token(text, t) for t in toks), F.lit(0).cast("bigint")))
+        (
+            lang,
+            sum(
+                (_count_in_padded(padded, t) for t in toks),
+                F.lit(0).cast("bigint"),
+            ),
+        )
         for lang, toks in sorted(LANG_MARKERS.items())
     ]
     best_score = None
@@ -79,10 +106,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     avg_token_len, stopword_ratio, punct_ratio, quality_score (all
     rounded for cross-engine stability)."""
     t = F.col(text_col)
+    # hoisted projection: one padded copy per row shared by all
+    # stopword counts (see padded_text docstring)
+    df = df.withColumn("_padded_qf", padded_text(t))
     n_tokens = token_count_ws(t)
     n_chars = F.length(t).cast("bigint")
     stop_hits = sum(
-        (_count_token(t, s) for s in STOPWORDS), F.lit(0).cast("bigint")
+        (_count_in_padded(F.col("_padded_qf"), s) for s in STOPWORDS),
+        F.lit(0).cast("bigint"),
     )
     punct = F.regexp_count(t, F.lit("[^A-Za-z0-9\\s\\u4e00-\\u9fff]")).cast("bigint")
     avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
@@ -102,7 +133,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 2).alias("quality_score"),
-    )
+    ).drop("_padded_qf")
 
 
 def doc_fingerprint(text: Column, k: int = 3) -> Column:

@@ -92,17 +92,30 @@ def pages_to_mentions(
 
 
 def mentions_to_graph(
-    mentions: DataFrame, sentences: DataFrame
+    mentions: DataFrame,
+    sentences: DataFrame,
+    subj_types: tuple[str, ...] = ("PER",),
+    obj_types: tuple[str, ...] = ("ORG", "LOC"),
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """mentions + sentences -> (triples, nodes, edges) via the relational
-    triple extractor (for independently stored mention/sentence tables)."""
-    triples = extract_triples(mentions, sentences, ["url", "sent_id"])
-    nodes, edges = graph_from_mentions(mentions, triples)
+    triple extractor (for independently stored mention/sentence tables).
+    subj_types/obj_types thread through to both the triple extractor and
+    the edge-resolution maps so an override never silently drops edges."""
+    triples = extract_triples(
+        mentions, sentences, ["url", "sent_id"],
+        subj_types=subj_types, obj_types=obj_types,
+    )
+    nodes, edges = graph_from_mentions(
+        mentions, triples, subj_types=subj_types, obj_types=obj_types
+    )
     return triples, nodes, edges
 
 
 def graph_from_mentions(
-    mentions: DataFrame, triples: DataFrame
+    mentions: DataFrame,
+    triples: DataFrame,
+    subj_types: tuple[str, ...] = ("PER",),
+    obj_types: tuple[str, ...] = ("ORG", "LOC"),
 ) -> tuple[DataFrame, DataFrame]:
     """mentions + triples -> (nodes, edges).
 
@@ -145,8 +158,8 @@ def graph_from_mentions(
             .agg(F.min("canon_id").alias(out))
         )
 
-    subj_map = _surf_map(("PER",), "src")
-    obj_map = _surf_map(("ORG", "LOC"), "dst")
+    subj_map = _surf_map(subj_types, "src")
+    obj_map = _surf_map(obj_types, "dst")
     edges = (
         triples.join(subj_map, triples["subj"] == subj_map["surface"])
         .drop("surface")
@@ -165,6 +178,8 @@ def run_pipeline(
     word2id,
     lang: str | None = "zh",
     dtype=None,
+    subj_types: tuple[str, ...] = ("PER",),
+    obj_types: tuple[str, ...] = ("ORG", "LOC"),
 ) -> dict[str, DataFrame]:
     """The fused flagship pipeline: ONE tagger pass emits sentence +
     mention-array rows (localCheckpoint'd — every downstream consumer
@@ -176,8 +191,13 @@ def run_pipeline(
     tagged = pages_to_tagged(pages, wb, vb, lang, dtype).localCheckpoint()
     sentences = tagged.select("url", "sent_id", "sentence")
     mentions = tagged.select("url", "sent_id", F.inline("mentions"))
-    triples = triples_from_tagged(tagged, ["url", "sent_id"])
-    nodes, edges = graph_from_mentions(mentions, triples)
+    triples = triples_from_tagged(
+        tagged, ["url", "sent_id"],
+        subj_types=subj_types, obj_types=obj_types,
+    )
+    nodes, edges = graph_from_mentions(
+        mentions, triples, subj_types=subj_types, obj_types=obj_types
+    )
     return {
         "sentences": sentences,
         "mentions": mentions,

@@ -30,53 +30,79 @@ PAGES_FROM_WARC_SCHEMA = (
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (Common Crawl compresses each
-    WARC record as its own member)."""
-    out = []
+_BOUNDARY = b"\r\n\r\nWARC/"
+
+
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress concatenated gzip members ONE AT A TIME (Common Crawl
+    compresses each WARC record as its own member). Streaming member-wise
+    bounds uncompressed residency to one record instead of the whole
+    ~5x-expanded shard."""
     while data:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        yield d.decompress(data) + d.flush()
         if not d.eof:
             break
         data = d.unused_data
-    return b"".join(out)
 
 
-def parse_warc_records(
-    raw: bytes,
-) -> Iterator[tuple[str, datetime | None, bytes]]:
-    """Yield (url, warc_ts, http_payload) for every response record.
+def _scan(
+    buf: bytes, final: bool
+) -> tuple[list[tuple[str, datetime | None, bytes]], bytes]:
+    """Parse complete records from ``buf``; return (records, remainder).
 
     Record grammar (ISO 28500): ``WARC/1.x\\r\\n`` header block,
-    ``\\r\\n``, Content-Length content bytes, ``\\r\\n\\r\\n``. The
-    content of a response record is an HTTP message; its body starts
-    after the first blank line.
+    ``\\r\\n\\r\\n``, Content-Length content bytes, ``\\r\\n\\r\\n``.
+    Records are located ONLY at ``\\r\\n\\r\\nWARC/`` boundaries (or
+    offset 0), so a literal ``WARC/`` inside an HTTP body never spawns a
+    garbage pseudo-record. A record with a missing or unparsable
+    Content-Length is SKIPPED (not treated as length 0) and the scanner
+    resyncs at the next record boundary. ``final=False`` keeps any
+    incomplete trailing record in the remainder for the next member.
     """
-    if raw[:2] == b"\x1f\x8b":
-        raw = _gunzip_members(raw)
+    out: list[tuple[str, datetime | None, bytes]] = []
     pos = 0
-    n = len(raw)
+    n = len(buf)
+    keep_from = n
     while pos < n:
-        head_start = raw.find(b"WARC/", pos)
-        if head_start < 0:
-            break
-        head_end = raw.find(b"\r\n\r\n", head_start)
+        if pos == 0 and buf.startswith(b"WARC/"):
+            head_start = 0
+        else:
+            b = buf.find(_BOUNDARY, pos)
+            if b < 0:
+                if not final:
+                    # a boundary might straddle the member edge
+                    keep_from = max(pos, n - (len(_BOUNDARY) - 1))
+                break
+            head_start = b + 4
+        head_end = buf.find(b"\r\n\r\n", head_start)
         if head_end < 0:
+            if not final:
+                keep_from = head_start
             break
         headers: dict[str, str] = {}
-        for line in raw[head_start:head_end].split(b"\r\n")[1:]:
+        for line in buf[head_start:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("ascii", "replace")] = (
                 v.strip().decode("utf-8", "replace")
             )
         try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            length = 0
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            length = None
         content_start = head_end + 4
-        content = raw[content_start: content_start + length]
+        if length is None:
+            # invalid record: drop it, resync at the next boundary
+            pos = content_start
+            continue
+        if content_start + length > n:
+            if not final:
+                keep_from = head_start
+                break
+            length = n - content_start  # truncated final record
+        content = buf[content_start: content_start + length]
         pos = content_start + length
         if headers.get("warc-type") != "response":
             continue
@@ -91,7 +117,29 @@ def parse_warc_records(
                 ts = None
         http_end = content.find(b"\r\n\r\n")
         body = content[http_end + 4:] if http_end >= 0 else content
-        yield url, ts, body
+        out.append((url, ts, body))
+    return out, buf[keep_from:]
+
+
+def parse_warc_records(
+    raw: bytes,
+) -> Iterator[tuple[str, datetime | None, bytes]]:
+    """Yield (url, warc_ts, http_payload) for every response record.
+    Gzipped input is decompressed member-at-a-time with a carry buffer
+    for records that straddle member edges (Common Crawl's layout is one
+    record per member, so the carry is normally empty)."""
+    if raw[:2] == b"\x1f\x8b":
+        carry = b""
+        for member in _iter_gzip_members(raw):
+            recs, carry = _scan(carry + member if carry else member,
+                                final=False)
+            yield from recs
+        if carry:
+            recs, _ = _scan(carry, final=True)
+            yield from recs
+    else:
+        recs, _ = _scan(raw, final=True)
+        yield from recs
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
