@@ -104,3 +104,67 @@ def test_stateful_running_totals_match_batch(spark, event_files):
         for r in running_user_totals_batch(ev).collect()
     }
     assert last == want and len(want) > 10
+
+
+def test_streaming_tagger_resume_exactly_once(spark, tiny_model, tmp_path):
+    """The streaming surface married to the lineage/resume contract: a
+    parquet-sink tagger stream is stopped after committing the first
+    half of its input (availableNow over the files present), more input
+    arrives, and a RESTART from the same checkpoint processes only the
+    new files — final output equals the batch tagger over everything,
+    exactly once (no phase-1 duplicates, nothing missing). The restart
+    path is deterministic where a mid-batch kill is racy; it pins the
+    same recovery semantics (source offsets + file-sink manifest)."""
+    import pandas as pd
+
+    from zh_ner_tf_spark.operators.tagger import broadcast_model, tag_sentences
+
+    corpus, word2id, weights = tiny_model
+    sents = ["".join(chars) for chars, _ in corpus[:40]]
+    full = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(sents)), "sentence": sents})
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    full.filter("doc_id < 20").repartition(2).write.mode("append").parquet(src)
+    wb, vb = broadcast_model(spark, weights, word2id)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        tagged = tag_sentences(
+            stream, wb, vb, ["doc_id"], chars_col="sentence", emit="mentions"
+        )
+        q = (
+            tagged.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 > 0
+    # the rest of the crawl arrives; restart from the SAME checkpoint
+    full.filter("doc_id >= 20").repartition(2).write.mode("append").parquet(src)
+    run_once()
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["mention"], r["etype"], r["begin"], r["end"])
+            for r in df.collect()
+        )
+
+    got = rows(spark.read.parquet(out))
+    want = rows(
+        tag_sentences(full, wb, vb, ["doc_id"], chars_col="sentence",
+                      emit="mentions")
+    )
+    assert got == want and len(want) > n_phase1
