@@ -593,6 +593,59 @@ def q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (window-min over positional
+    word-3-gram hashes, rightmost tie-break, w=4) — the local
+    fingerprinting scheme beside the whole-doc poly hash. All integer
+    arithmetic; the oracle re-expresses the identical int64 encoding."""
+    from zh_ner_tf_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text",
+                               n=3, w=4).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("fp_pos").cast("bigint"),
+        F.col("fp_hash").cast("bigint"),
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection END TO END through the driver
+    gate (LSH-bucketed candidates -> exact cosine -> threshold), checked
+    against the full DuckDB SRP replica. threshold=0.3 is calibrated to
+    the fixture (max random-pair cosine ~0.51) so the result is a real,
+    non-vacuous pair set (~450 rows at sf0.01)."""
+    from zh_ner_tf_spark.operators.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.3).select(
+        F.col("src").cast("bigint"), F.col("dst").cast("bigint"), "cosine"
+    )
+
+
+def q_extract_text_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-identical html->text flagship gate through the driver:
+    the vectorized regex-pipeline UDF (operators/extract_text.py) runs
+    over the deterministic pages fixture and emits sha256(text) per url;
+    the oracle is a constant truth table computed at SQL-generation time
+    by the INDEPENDENT sequential character-state-machine extractor
+    (fixtures/pages.py::oracle_extract_text) — two implementations of
+    the frozen rule set, byte-compared. Odd fixture rows carry NULL text
+    so the UDF branch is really exercised; even rows pin the passthrough
+    branch."""
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, pages_schema
+    from zh_ner_tf_spark.operators.extract_text import with_extracted_text
+
+    rows = gen_pages(120, seed=SEED)
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in rows],
+        schema=pages_schema(),
+    )
+    return with_extracted_text(df).select(
+        "url", F.sha2(F.col("text"), 256).alias("text_sha256")
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k through the driver gate. The oracle is
     a FULL DuckDB replica of the algorithm — the seeded hyperplanes are
@@ -978,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
         "ann_topk": q_ann_topk,
+        "extract_text_bytes": q_extract_text_bytes,
+        "embedding_near_dup": q_embedding_near_dup,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
@@ -1035,6 +1091,40 @@ def _grams_sql(n: int) -> str:
 
 _GRAMS3_SQL = _grams_sql(3)
 _GRAMS2_SQL = _grams_sql(2)
+
+
+def _winnow_sql(n: int, w: int) -> str:
+    """DuckDB twin of winnow_fingerprints: positional gram hashes (no
+    dedup), window min over the int64 (gh << 32 | ~pos) encoding,
+    rightmost-min tie-break, whole-doc window for short docs."""
+    combine = "th[i]"
+    for k in range(1, n):
+        combine = f"(({combine}) * 31 + th[i+{k}]) % {MINHASH_PRIME}"
+    return f"""
+WITH t AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(th) >= {n}
+      THEN [{combine} for i in generate_series(1, len(th) - {n - 1})]
+      ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                        (a, h) -> (a * 31 + h) % {MINHASH_PRIME})]
+    END AS gh
+  FROM t),
+r AS (
+  SELECT doc_id, i - 1 AS pos, gh[i] AS h
+  FROM (SELECT doc_id, gh, unnest(generate_series(1, len(gh))) AS i FROM g)),
+wn AS (
+  SELECT doc_id, pos,
+    min(h * 4294967296 + (4294967295 - pos)) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS c,
+    count(*) OVER (PARTITION BY doc_id) AS m
+  FROM r)
+SELECT DISTINCT doc_id,
+  (4294967295 - (c & 4294967295))::BIGINT AS fp_pos,
+  (c >> 32)::BIGINT AS fp_hash
+FROM wn WHERE pos <= greatest(m - {w}, 0)
+"""
 
 
 def _minhash_bands_sql() -> str:
@@ -1129,10 +1219,30 @@ WHERE round(len(list_intersect(sha, shb))::DOUBLE /
 """
 
 
-def _ann_topk_sql() -> str:
-    """DuckDB twin of ann_topk (SRP signatures from the same seeded,
-    round-6 hyperplanes inlined as literals; 16 bits, 4 bands of 4;
-    bucket join; cosine rescore; k=10)."""
+def _extract_text_sql() -> str:
+    """Constant truth table: sha256 of the state-machine-extracted text
+    of every fixture page, computed here (Python, no Spark) from the
+    same seeded generator the Spark query uses."""
+    import hashlib
+
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, oracle_extract_text
+
+    vals = []
+    for r in gen_pages(120, seed=SEED):
+        text = r["text"] if r["text"] is not None else oracle_extract_text(r["html"])
+        sha = hashlib.sha256(text.encode("utf-8")).hexdigest()
+        vals.append(f"('{r['url']}', '{sha}')")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(url, text_sha256)"
+    )
+
+
+def _srp_sql_parts() -> tuple[str, str]:
+    """(signature expr over column ``v``, band-struct list) for the
+    seeded 16-bit / 4-band SRP family — shared by the ann_topk and
+    embedding_near_dup DuckDB twins."""
     from zh_ner_tf_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(64, 16, SEED)
@@ -1149,6 +1259,14 @@ def _ann_topk_sql() -> str:
         f"'band_value': ((sig >> {b * 4}) & 15)::BIGINT}}"
         for b in range(4)
     )
+    return sig_expr, band_structs
+
+
+def _ann_topk_sql() -> str:
+    """DuckDB twin of ann_topk (SRP signatures from the same seeded,
+    round-6 hyperplanes inlined as literals; 16 bits, 4 bands of 4;
+    bucket join; cosine rescore; k=10)."""
+    sig_expr, band_structs = _srp_sql_parts()
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (SELECT vec_id, v, ({sig_expr})::BIGINT AS sig FROM e),
@@ -1170,6 +1288,28 @@ ranked AS (
   FROM scored)
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cosine, rank
 FROM ranked WHERE rank <= 10
+"""
+
+
+def _embedding_near_dup_sql(threshold: float) -> str:
+    """DuckDB twin of embedding_near_dups over its LSH candidate path:
+    SRP band collision (src < dst, distinct) -> exact cosine ->
+    round-6 threshold filter."""
+    sig_expr, band_structs = _srp_sql_parts()
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, ({sig_expr})::BIGINT AS sig FROM e),
+b AS (SELECT vec_id, v, unnest([{band_structs}]) AS bv FROM s),
+p AS (
+  SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst, a.v AS va, b2.v AS vb
+  FROM b a JOIN b b2 ON a.bv = b2.bv AND a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT src::BIGINT AS src, dst::BIGINT AS dst,
+         round(list_dot_product(va, vb) /
+               (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS cosine
+  FROM p)
+SELECT src, dst, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
@@ -1512,6 +1652,12 @@ FROM ranked WHERE rank <= 10
     fam_sqls["ivf_topk_full"] = fam_sqls["embedding_topk"]
 
     fam_sqls["ann_topk"] = _ann_topk_sql()
+
+    fam_sqls["extract_text_bytes"] = _extract_text_sql()
+
+    fam_sqls["embedding_near_dup"] = _embedding_near_dup_sql(0.3)
+
+    fam_sqls["winnow_fingerprint"] = _winnow_sql(3, 4)
 
     fam_sqls["lang_id"] = _lang_id_sql()
 

@@ -415,3 +415,53 @@ def test_connected_components_adversarial_shapes(spark, shape):
     nodes = {x for e in edges for x in e}
     want = _union_find(nodes, edges)
     assert got == want
+
+
+def test_winnow_fingerprints_match_bruteforce_and_guarantee(spark):
+    """Spark winnowing == a sequential brute-force implementation of the
+    published algorithm (min per window, rightmost tie-break), and the
+    winnowing guarantee holds: two documents sharing a run of >= n+w-1
+    tokens share at least one fingerprint hash."""
+    import pandas as pd
+
+    from zh_ner_tf_spark.operators.dedup import (
+        _gram_hashes_np,
+        winnow_fingerprints,
+    )
+
+    n, w = 3, 4
+    docs = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y z a b c d e f g h q"),       # shares 'a b c d e f g h'
+        (2, "p p p p p p"),                   # all-equal hashes: tie-break
+        (3, "one two"),                       # fewer than n tokens
+        (4, ""),                              # empty
+        (5, "u v w x y z"),                   # exactly enough for 1 window
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {
+        (r["doc_id"], r["fp_pos"], r["fp_hash"])
+        for r in winnow_fingerprints(df, "doc_id", "text", n=n, w=w).collect()
+    }
+
+    def brute(doc_id, text):
+        gh = _gram_hashes_np(text, n, distinct=False)
+        m = len(gh)
+        out = set()
+        for s in range(max(m - w, 0) + 1):
+            window = gh[s: s + w] if m > w else gh
+            mn = min(window)
+            # rightmost position achieving the min
+            rel = max(i for i, v in enumerate(window) if v == mn)
+            out.add((doc_id, s + rel, mn))
+        return out
+
+    want = set()
+    for doc_id, text in docs:
+        want |= brute(doc_id, text)
+    assert got == want
+
+    # guarantee: docs 0 and 1 share the 8-token run -> >= 1 common hash
+    h0 = {h for d, p, h in got if d == 0}
+    h1 = {h for d, p, h in got if d == 1}
+    assert h0 & h1

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from zh_ner_tf_spark.config import MINHASH_PRIME
 from zh_ner_tf_spark.operators.blocking import block_entities
@@ -87,7 +88,7 @@ def _combine_slice(th: Column, i, n: int) -> Column:
     return acc
 
 
-def _gram_hashes_np(text: str | None, n: int):
+def _gram_hashes_np(text: str | None, n: int, distinct: bool = True):
     """Distinct word-n-gram hashes of one document, vectorized in NumPy —
     the frozen spec of word_ngram_hashes / the DuckDB oracle _grams_sql:
     token hash = fold (acc*31 + codepoint) mod P over the token's chars;
@@ -129,7 +130,7 @@ def _gram_hashes_np(text: str | None, n: int):
     gh = th[: m - n + 1].copy()
     for k in range(1, n):
         gh = (gh * 31 + th[k : m - n + 1 + k]) % P
-    return np.unique(gh).tolist()
+    return np.unique(gh).tolist() if distinct else gh.tolist()
 
 
 def gram_hashes_udf(n: int):
@@ -284,6 +285,81 @@ def minhash_near_dups(
     return block_entities(
         df.select(F.col(key_col).alias("entity_id"), F.col(text_col).alias("surface")),
         threshold=threshold,
+    )
+
+
+def positional_gram_rows(
+    df: DataFrame, key_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(_k, pos, gh) rows: word-n-gram hashes in POSITIONAL order (not
+    deduped) — the input sequence winnowing slides its window over.
+    Same Arrow-vectorized construction as ngram_hash_rows; no shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
+    def _grams(texts):
+        return pd.Series(
+            [_gram_hashes_np(t, n, distinct=False) for t in texts],
+            dtype=object,
+        )
+
+    return df.select(
+        F.col(key_col).alias("_k"),
+        F.posexplode(_grams(F.col(text_col))).alias("pos", "gh"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS;
+    public algorithm): slide a window of ``w`` consecutive word-n-gram
+    hashes and select each window's minimum, ties broken by RIGHTMOST
+    position; the fingerprint is the distinct (position, hash) set.
+    Guarantee: any shared substring of >= n+w-1 tokens between two
+    documents shares at least one fingerprint hash.
+
+    Spark shape: positional gram hashes from one Arrow pass (no
+    shuffle), then ONE window pass per doc. The min-with-rightmost-tie
+    is a single bigint window min over the encoding
+    ``gh * 2^32 + (2^32-1 - pos)`` (gh < 2^31 = MINHASH_PRIME, so the
+    encoding fits int64 and orders by (gh asc, pos desc)) — expressible
+    identically in the DuckDB oracle. Documents shorter than ``w`` grams
+    winnow their single whole-length window.
+
+    Output: (key_col, fp_pos, fp_hash) distinct rows.
+    """
+    rows = positional_gram_rows(df, key_col, text_col, n)
+    win = (
+        Window.partitionBy("_k")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    all_rows = Window.partitionBy("_k")
+    enc = F.col("gh") * F.lit(2 ** 32).cast("bigint") + (
+        F.lit(2 ** 32 - 1).cast("bigint") - F.col("pos")
+    )
+    c = rows.select(
+        "_k",
+        "pos",
+        F.min(enc).over(win).alias("c"),
+        F.count(F.lit(1)).over(all_rows).alias("m"),
+    )
+    return (
+        c.filter(F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0)))
+        .select(
+            F.col("_k").alias(key_col),
+            (F.lit(2 ** 32 - 1).cast("bigint")
+             - F.col("c").bitwiseAND(F.lit(2 ** 32 - 1).cast("bigint"))
+             ).alias("fp_pos"),
+            F.shiftright(F.col("c"), 32).alias("fp_hash"),
+        )
+        .distinct()
     )
 
 
