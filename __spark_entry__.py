@@ -893,6 +893,34 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (the dedup-stats primitive at
+    crawl scale, where exact count_distinct shuffles every key): the
+    gate emits the exact distinct count PLUS a within-5%% flag for the
+    rsd=0.02 sketch — the oracle pins the exact count and the bound, not
+    the sketch's internal estimate (which is engine-specific)."""
+    docs = _docs(spark, sf_dir)
+    exact = F.count_distinct(F.col("text"))
+    approx = F.approx_count_distinct("text", 0.02)
+    return docs.agg(
+        exact.cast("bigint").alias("exact_distinct"),
+        (F.abs(approx - exact) <= 0.05 * exact).cast("bigint").alias("within_5pct"),
+    )
+
+
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the non-hierarchical variant beside CUBE
+    and ROLLUP): per-status totals, per-priority totals, and the grand
+    total in one aggregation pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_c
+FROM _gs_orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+
+
 def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per order priority, deterministically defined as the
     lower-middle element under (cents, orderkey) ordering — rank-based,
@@ -1043,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "cube_lineitem": q_cube_lineitem,
         "rollup_orders": q_rollup_orders,
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "approx_distinct_documents": q_approx_distinct_documents,
         "median_order_value": q_median_order_value,
         "pivot_order_status": q_pivot_order_status,
         "set_ops_customers": q_set_ops_customers,
@@ -1755,6 +1785,19 @@ ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP >= o.ots
 SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
        sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS price_c
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+    fam_sqls["grouping_sets_orders"] = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS price_c
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+    # the oracle pins the exact distinct count and the accuracy bound;
+    # the HLL estimate itself is engine-specific by design
+    fam_sqls["approx_distinct_documents"] = """
+SELECT count(DISTINCT text)::BIGINT AS exact_distinct, 1::BIGINT AS within_5pct
+FROM documents
 """
 
     fam_sqls["median_order_value"] = """

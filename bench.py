@@ -52,6 +52,10 @@ HEADLINE = [
     "embedding_topk",
     "quality_features",
     "cc_full",
+    # round 3 additions
+    "ann_topk",
+    "embedding_near_dup",
+    "winnow_fingerprint",
 ]
 
 N_BENCH_PAGES = 24000
@@ -220,6 +224,12 @@ def run_kg_pipeline(spark, pages, weights, word2id) -> dict:
                        dtype=np.float32)
     n_triples = out["triples"].count()
     dt = time.time() - t0
+    # graph tail (blocking + CC + edge resolution) on top of the
+    # localCheckpoint'd tagged rows — timed separately so the headline
+    # triples/s definition stays comparable across rounds
+    t1 = time.time()
+    n_edges = out["edges"].count()
+    graph_dt = time.time() - t1
     n_pages = pages.count()
     return {
         "sec": round(dt, 3),
@@ -227,6 +237,8 @@ def run_kg_pipeline(spark, pages, weights, word2id) -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / dt, 1),
         "pages_per_sec": round(n_pages / dt, 1),
+        "edges": n_edges,
+        "graph_stage_sec": round(graph_dt, 3),
     }
 
 

@@ -429,6 +429,8 @@ def test_winnow_fingerprints_match_bruteforce_and_guarantee(spark):
         winnow_fingerprints,
     )
 
+    import random
+
     n, w = 3, 4
     docs = [
         (0, "a b c d e f g h i j"),
@@ -437,6 +439,14 @@ def test_winnow_fingerprints_match_bruteforce_and_guarantee(spark):
         (3, "one two"),                       # fewer than n tokens
         (4, ""),                              # empty
         (5, "u v w x y z"),                   # exactly enough for 1 window
+    ]
+    # plus a seeded random corpus over a tiny vocab (forces hash repeats,
+    # hence tie-breaks, at many window offsets)
+    rng = random.Random(7)
+    docs += [
+        (10 + i, " ".join(rng.choice("aa bb cc dd".split())
+                          for _ in range(rng.randint(0, 30))))
+        for i in range(50)
     ]
     df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
     got = {

@@ -82,16 +82,21 @@ def conlleval_prf1(
     gspans = extract_spans(gold_tagged, id_cols, pos_col, tag_col, token_col)
     pspans = extract_spans(pred_tagged, id_cols, pos_col, tag_col, token_col)
     keys = [*id_cols, "etype", "begin", "end"]
-    correct = (
-        pspans.join(gspans.select(keys), keys, "left_semi")
-        .groupBy("etype")
-        .agg(F.count(F.lit(1)).alias("correct"))
+    # guessed + correct from ONE pass over pspans: mark each predicted
+    # span with a gold-match flag (spans are unique per (id, begin, end,
+    # type) by construction, so the left join cannot fan out) instead of
+    # a semi-join plus a second aggregation — halves the pred-side span
+    # extraction work, which dominates this operator at scale.
+    marked = pspans.join(
+        gspans.select(keys).withColumn("_hit", F.lit(1)), keys, "left"
     )
-    guessed = pspans.groupBy("etype").agg(F.count(F.lit(1)).alias("guessed"))
+    pred_agg = marked.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("guessed"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("correct"),
+    )
     gold_n = gspans.groupBy("etype").agg(F.count(F.lit(1)).alias("gold"))
     per_type = (
-        guessed.join(gold_n, "etype", "full")
-        .join(correct, "etype", "full")
+        pred_agg.join(gold_n, "etype", "full")
         .na.fill(0, ["guessed", "gold", "correct"])
     )
     overall = per_type.agg(
