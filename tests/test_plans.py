@@ -249,3 +249,28 @@ def test_full_pages_to_triples_prefix_has_no_shuffle(spark):
     q = triples_from_tagged(tagged, ["url", "sent_id"])
     assert "Exchange" not in _plan(q)
     assert q.count() > 0
+
+
+def test_similarity_queries_have_no_nested_loop_join(spark):
+    """The SRP-LSH paths (ann_topk, embedding_near_dup) and winnowing
+    must plan as hash joins on band/key columns — a NestedLoop or
+    Cartesian anywhere means the bucketing rewrite silently degraded to
+    all-pairs, the exact failure mode the operators exist to avoid."""
+    import __spark_entry__ as e
+
+    for name in ("ann_topk", "embedding_near_dup", "winnow_fingerprint"):
+        plan = _plan(e.queries()[name](spark, SF))
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, name
+
+
+def test_winnow_has_single_shuffle(spark):
+    """Winnowing = one Arrow pass (positional grams, no shuffle) + ONE
+    window shuffle on the doc key; a second Exchange would mean the
+    fingerprint dedup re-shuffles instead of riding the window
+    partitioning."""
+    from zh_ner_tf_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(winnow_fingerprints(docs, "doc_id", "text"))
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges == 1, plan
