@@ -143,3 +143,36 @@ def test_resumable_tagger_stage_end_to_end(spark, tmp_path):
         (r["url"], r["sent_id"], r["mention"], r["begin"]) for r in resumed.collect()
     }
     assert got == want
+
+
+def test_snapshot_append_time_travel_and_isolation(spark, tmp_path):
+    """Snapshot-manifest table emulation (Iceberg snapshot log): appends
+    create numbered snapshots, time travel reads any committed snapshot,
+    and a crashed write's orphan data dir is invisible to readers."""
+    from zh_ner_tf_spark.sources.sinks import (
+        committed_snapshots,
+        read_snapshot,
+        snapshot_append,
+    )
+
+    path = str(tmp_path / "nodes_tbl")
+    df1 = spark.range(5).select(F.col("id"), F.lit("a").alias("tag"))
+    df2 = spark.range(5, 8).select(F.col("id"), F.lit("b").alias("tag"))
+    s1 = snapshot_append(df1, path)
+    s2 = snapshot_append(df2, path)
+    assert (s1, s2) == (1, 2) and committed_snapshots(path) == [1, 2]
+    assert read_snapshot(spark, path).count() == 8           # latest
+    assert read_snapshot(spark, path, 1).count() == 5        # time travel
+    ids1 = {r["id"] for r in read_snapshot(spark, path, 1).collect()}
+    assert ids1 == set(range(5))
+    # a writer that dies after writing data but BEFORE the manifest
+    # rename leaves an orphan dir no reader sees
+    orphan = str(tmp_path / "nodes_tbl" / "data" / "snap-000099")
+    spark.range(100, 200).select(
+        F.col("id"), F.lit("crash").alias("tag")
+    ).write.parquet(orphan)
+    assert committed_snapshots(path) == [1, 2]
+    assert read_snapshot(spark, path).count() == 8
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, 99)

@@ -3,17 +3,26 @@
 Design-scale target is Iceberg (``df.writeTo("glue.kg.nodes").append()``
 with hidden partitioning ``days(warc_ts)`` and snapshot isolation); this
 sandbox has no Iceberg runtime jar, so the same call sites write
-date-partitioned parquet — which preserves the two properties the engine
+date-partitioned parquet — which preserves the properties the engine
 depends on and the tests verify:
 
   * partition pruning: a ``warc_date`` predicate reaches the scan as a
     PartitionFilter (never reads other days' files);
   * idempotent re-writes: dynamic partition overwrite replaces exactly
     the partitions present in the incoming data (the lineage/resume
-    contract, plans/lineage.py).
+    contract, plans/lineage.py);
+  * snapshot isolation + time travel: ``snapshot_append`` commits a
+    JSON manifest naming the data directories visible at each snapshot
+    (readers only see committed manifests — a crashed write leaves an
+    orphan data dir that no snapshot references), and
+    ``read_snapshot(..., snapshot_id=k)`` reads the table as of any
+    committed snapshot, mirroring Iceberg's snapshot log.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,3 +49,66 @@ def read_day(spark: SparkSession, path: str, day: str) -> DataFrame:
     """Partition-pruned read of one day (predicate lands in the scan's
     PartitionFilters — asserted by tests/test_plans.py)."""
     return spark.read.parquet(path).filter(F.col("warc_date") == day)
+
+
+# --------------------------------------------------------------------------
+# snapshot-manifest table emulation (Iceberg snapshot log semantics)
+# --------------------------------------------------------------------------
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, "snapshots")
+
+
+def committed_snapshots(path: str) -> list[int]:
+    """Sorted committed snapshot ids (empty for a fresh/absent table)."""
+    d = _snap_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+    )
+
+
+def snapshot_append(df: DataFrame, path: str) -> int:
+    """Append ``df`` as a new snapshot; returns the new snapshot id.
+
+    Data lands in its own directory first; the snapshot becomes visible
+    only when its manifest (previous snapshot's file list + the new
+    directory) is atomically renamed into ``snapshots/`` — the Iceberg
+    commit protocol in miniature. A writer that dies before the rename
+    leaves an orphan data dir invisible to every reader."""
+    snaps = committed_snapshots(path)
+    new_id = (snaps[-1] + 1) if snaps else 1
+    data_dir = os.path.join(path, "data", f"snap-{new_id:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    if snaps:
+        with open(os.path.join(_snap_dir(path), f"{snaps[-1]}.json")) as f:
+            prev = json.load(f)["data_dirs"]
+    else:
+        prev = []
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    manifest = {
+        "snapshot_id": new_id,
+        "parent_id": snaps[-1] if snaps else None,
+        "data_dirs": prev + [data_dir],
+    }
+    tmp = os.path.join(_snap_dir(path), f".{new_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(_snap_dir(path), f"{new_id}.json"))
+    return new_id
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the table as of ``snapshot_id`` (default: latest committed).
+    Uncommitted data directories are never visible."""
+    snaps = committed_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    sid = snaps[-1] if snapshot_id is None else snapshot_id
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in {snaps}")
+    with open(os.path.join(_snap_dir(path), f"{sid}.json")) as f:
+        dirs = json.load(f)["data_dirs"]
+    return spark.read.parquet(*dirs)
