@@ -376,13 +376,22 @@ def main() -> None:
         sum(result["queries_median"].values()), 3
     )
 
+    # same best-of discipline as the headline queries: the pipeline and
+    # tagger probes were single samples through r2 and host dips showed
+    # up as phantom 5x swings in triples/s
     weights, word2id = _pipeline_model()
     pages = _bench_pages(spark, N_BENCH_PAGES)
-    pipe = run_kg_pipeline(spark, pages, weights, word2id)
+    pipe_runs = [run_kg_pipeline(spark, pages, weights, word2id)
+                 for _ in range(2)]
+    pipe = max(pipe_runs, key=lambda r: r["triples_per_sec"])
     result["kg_pipeline"] = pipe
+    result["kg_pipeline_all_reps_tps"] = [r["triples_per_sec"] for r in pipe_runs]
     result["triples_per_sec"] = pipe["triples_per_sec"]
-    tg = run_tagger_fullsize(spark, SF_DIR, TAGGER_DOCS)
+    tg_runs = [run_tagger_fullsize(spark, SF_DIR, TAGGER_DOCS)
+               for _ in range(2)]
+    tg = max(tg_runs, key=lambda r: r["chars_per_sec"])
     result["tagger_fullsize"] = tg
+    result["tagger_all_reps_cps"] = [r["chars_per_sec"] for r in tg_runs]
     result["tagger_chars_per_sec"] = tg["chars_per_sec"]
     spark.stop()
 
