@@ -77,3 +77,35 @@ def test_frame_sampling_plan(spark, media_df):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00", 8)
+
+
+def test_resize_media_updates_payload_and_metadata(spark):
+    """resize_media keeps the schema, rewrites payload deterministically
+    (pinned fake-resize values), scales payload size with target pixel
+    count, and updates width/height metadata — all inside one Arrow pass."""
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        fake_resize,
+        gen_media,
+        resize_media,
+    )
+
+    media = spark.createDataFrame(gen_media(12), MEDIA_SCHEMA)
+    images = media.filter(F.col("kind") == "image")
+    out = resize_media(images, 64, 48)
+    assert out.schema == images.schema
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: r for r in images.collect()}
+    assert rows.keys() == src.keys() and len(rows) > 0
+    for mid, r in rows.items():
+        want = fake_resize(bytes(src[mid]["payload"]), 64, 48)
+        assert bytes(r["payload"]) == want
+        assert (r["width"], r["height"]) == (64, 48)
+        assert len(bytes(r["payload"])) == max(16, 64 * 48 // 1024)
+    # None payload passes through as None
+    none_df = spark.createDataFrame(
+        [(99, "image", None, 1, 1, None, None)], MEDIA_SCHEMA
+    )
+    assert resize_media(none_df, 64, 48).first()["payload"] is None

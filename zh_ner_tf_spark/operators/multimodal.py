@@ -94,6 +94,55 @@ def extract_media_features(
     return df.select(*id_cols, payload_col).mapInPandas(fn, schema=schema)
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes | None:
+    """Deterministic codec-free stand-in for an image resize: re-keys the
+    payload by the target dims and emits a byte string whose length
+    scales with the target pixel count — size accounting downstream
+    stays realistic, values stay pinned for tests."""
+    if payload is None:
+        return None
+    n = max(16, (width * height) // 1024)
+    h0 = hashlib.sha256(
+        payload + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+    ).digest()
+    raw = b""
+    counter = 0
+    while len(raw) < n:
+        raw += hashlib.sha256(h0 + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return raw[:n]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    resize_fn: Callable[[bytes, int, int], bytes | None] = fake_resize,
+) -> DataFrame:
+    """Resize image rows to (width, height): same schema out, payload
+    transformed inside the scan-side Arrow UDF (bytes never shuffle),
+    width/height metadata updated. The pixel work is the codec boundary
+    (``resize_fn``); swapping in PIL is a one-argument change. Callers
+    filter to ``kind = 'image'`` first."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = pdf[payload_col].map(
+                lambda b: resize_fn(
+                    bytes(b) if b is not None else None, width, height
+                )
+            )
+            if "width" in out.columns:
+                out["width"] = np.int32(width)
+            if "height" in out.columns:
+                out["height"] = np.int32(height)
+            yield out
+
+    return df.mapInPandas(fn, schema=df.schema)
+
+
 def frame_sample(
     df: DataFrame,
     every_n: int = 10,
