@@ -168,3 +168,63 @@ def test_streaming_tagger_resume_exactly_once(spark, tiny_model, tmp_path):
                       emit="mentions")
     )
     assert got == want and len(want) > n_phase1
+
+
+def test_streaming_pages_to_triples_matches_batch(spark, tmp_path):
+    """The fused zero-shuffle pages -> extract -> sentences -> tagger ->
+    triples prefix is STATELESS, so it runs unchanged on a stream: an
+    availableNow multi-micro-batch run over page files must emit exactly
+    the batch pipeline's triples."""
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.fixtures.pages import (
+        gen_pages,
+        oracle_extract_text,
+        pages_schema,
+    )
+    from zh_ner_tf_spark.operators.tagger import broadcast_model
+    from zh_ner_tf_spark.operators.triples import triples_from_tagged
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import pages_to_tagged
+
+    rows = gen_pages(60, seed=42)
+    word2id = {"<PAD>": 0}
+    for r in rows:
+        text = r["text"] if r["text"] is not None else oracle_extract_text(r["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    wb, vb = broadcast_model(spark, planted_weights(word2id), word2id)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=pages_schema(),
+    )
+    src = str(tmp_path / "pages_src")
+    pages.repartition(3).write.parquet(src)
+
+    def triples_of(df):
+        return triples_from_tagged(
+            pages_to_tagged(df, wb, vb, lang="zh"), ["url", "sent_id"]
+        )
+
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        triples_of(stream)
+        .writeStream.format("memory").queryName("stream_triples")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    def rows_of(df):
+        return sorted(
+            (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
+            for r in df.collect()
+        )
+
+    got = rows_of(spark.table("stream_triples"))
+    want = rows_of(triples_of(spark.read.parquet(src)))
+    assert got == want and len(want) > 50
