@@ -175,12 +175,12 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
 
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    from zh_ner_tf_spark.sources.sinks import write_bucketed
+
     suffix = uuid.uuid4().hex[:8]  # default warehouse dir; tables dropped below
     t1, t2 = f"li_b_{suffix}", f"o_b_{suffix}"
-    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-       .mode("overwrite").saveAsTable(t1))
-    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-       .mode("overwrite").saveAsTable(t2))
+    write_bucketed(li, t1, "l_orderkey", buckets=8)
+    write_bucketed(o, t2, "o_orderkey", buckets=8)
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         j = spark.table(t1).join(
@@ -274,3 +274,43 @@ def test_winnow_has_single_shuffle(spark):
     plan = _plan(winnow_fingerprints(docs, "doc_id", "text"))
     n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert n_exchanges == 1, plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE skew-join handling (the runtime backstop behind the explicit
+    census salting): with skew thresholds lowered to test scale, a join
+    against a 99%-one-key table must show a skew-handled AQEShuffleRead
+    in the final adaptive plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "24KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "12KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        skewed = spark.range(60_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        dim = spark.range(2_000).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        j = skewed.join(dim, "k")
+        # execute THIS DataFrame's QueryExecution (count() would spawn a
+        # different one and AQE finalizes plans per execution)
+        assert len(j.collect()) > 0
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "SortMergeJoin(skew=true)" in final, final
+        assert "AQEShuffleRead skewed" in final, final
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -51,6 +51,26 @@ def read_day(spark: SparkSession, path: str, day: str) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("warc_date") == day)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize hash-bucketed by ``key`` (metastore-backed parquet):
+    two tables bucketed the same way equi-join WITHOUT a shuffle — the
+    co-located-join layout for repeatedly-joined big tables (e.g.
+    mentions x sentences by url). Asserted by tests/test_plans.py."""
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 # --------------------------------------------------------------------------
 # snapshot-manifest table emulation (Iceberg snapshot log semantics)
 # --------------------------------------------------------------------------
