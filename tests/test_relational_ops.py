@@ -242,3 +242,62 @@ def test_asof_join_null_right_payload_is_row_atomic(spark):
     # the 11:00 row wins as a unit: val stays NULL, never back-fills 100
     assert r["note"] == "new" and r["val"] is None
     assert r["rts_matched"] == T("2024-01-01 11:00")
+
+
+def test_asof_join_matches_pandas_merge_asof_on_random_data(spark):
+    """Cross-oracle: our union+window as-of join == pandas.merge_asof
+    (an independent, widely-used implementation of the same semantics:
+    backward direction, exact matches allowed) on randomized keys/
+    timestamps, including NULL right payloads."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from zh_ner_tf_spark.operators.asof import asof_join
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (rng.randint(1, 6), base + dt.timedelta(minutes=rng.randint(0, 500)), i)
+        for i in range(200)
+    ]
+    seen = set()
+    right_rows = []
+    for _ in range(120):
+        k = rng.randint(1, 6)
+        ts = base + dt.timedelta(minutes=rng.randint(0, 500))
+        if (k, ts) in seen:          # operator requires unique (key, ts)
+            continue
+        seen.add((k, ts))
+        val = None if rng.random() < 0.3 else rng.randint(0, 999)
+        right_rows.append((k, ts, val))
+    lpdf = pd.DataFrame(left_rows, columns=["k", "ts", "row_id"])
+    rpdf = pd.DataFrame(right_rows, columns=["k", "rts", "val"]).astype(
+        {"val": "object"}
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(
+        [(int(k), t, None if v is None else int(v)) for k, t, v in right_rows],
+        "k bigint, rts timestamp, val bigint",
+    )
+    got = {
+        r["row_id"]: (r["val"], r["rts_matched"])
+        for r in asof_join(left, right, "k", "ts", "rts", how="left").collect()
+    }
+    want_pdf = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("rts").rename(columns={"rts": "rts_matched"}),
+        left_on="ts", right_on="rts_matched", by="k",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        int(r.row_id): (
+            None if pd.isna(r.val) else int(r.val),
+            None if pd.isna(r.rts_matched) else r.rts_matched.to_pydatetime(),
+        )
+        for r in want_pdf.itertuples()
+    }
+    # NULL-val matched rows: pandas can't distinguish "no match" from a
+    # matched NULL payload in the val column alone — rts_matched does.
+    assert got == want
