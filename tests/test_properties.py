@@ -120,3 +120,76 @@ def test_conlleval_quirk_encodings_score_identically():
         [normalize_eval_quirks(p) for p in pred_quirk],
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=0, max_size=8
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_gram_hashes_numpy_matches_naive_python(parts, n):
+    """The segmented-reduceat polynomial gram hash (dedup._gram_hashes_np)
+    equals a naive per-char/per-token Python fold for arbitrary
+    space-splittable text and any n."""
+    from zh_ner_tf_spark.config import MINHASH_PRIME as P
+    from zh_ner_tf_spark.operators.dedup import _gram_hashes_np
+
+    text = " ".join(parts)
+
+    def tok_hash(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    toks = [t for t in text.split(" ") if t != ""]
+    th = [tok_hash(t) for t in toks]
+    if len(th) < n:
+        h = 0
+        for v in th:
+            h = (h * 31 + v) % P
+        want_distinct = [h]
+        want_pos = [h]
+    else:
+        grams = []
+        for i in range(len(th) - n + 1):
+            g = 0
+            for v in th[i: i + n]:
+                g = (g * 31 + v) % P
+            grams.append(g)
+        want_distinct = sorted(set(grams))
+        want_pos = grams
+    assert _gram_hashes_np(text, n) == want_distinct
+    assert _gram_hashes_np(text, n, distinct=False) == want_pos
+
+
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 3))
+@settings(max_examples=60, deadline=None)
+def test_warc_scanner_never_crashes_and_finds_valid_records(junk, n_good):
+    """Fuzz: arbitrary junk bytes around well-formed records must never
+    crash the scanner, never produce pseudo-records, and every valid
+    record that follows a proper boundary is still found."""
+    from zh_ner_tf_spark.sources.warc import parse_warc_records
+
+    def record(i):
+        http = b"HTTP/1.1 200 OK\r\n\r\n<html>%d</html>" % i
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + b"WARC-Target-URI: https://x.example/%d\r\n" % i
+            + b"Content-Length: %d\r\n" % len(http)
+        )
+        return head + b"\r\n" + http + b"\r\n\r\n"
+
+    goods = [record(i) for i in range(n_good)]
+    # junk first: records after it are only guaranteed findable if a
+    # clean boundary precedes them, so glue with the boundary separator
+    blob = junk + b"\r\n\r\n" + b"".join(goods)
+    recs = list(parse_warc_records(blob))
+    urls = [r[0] for r in recs]
+    for i in range(n_good):
+        assert f"https://x.example/{i}" in urls
+    # no pseudo-records beyond the planted ones unless the junk itself
+    # contains a syntactically valid record (vanishingly unlikely here)
+    assert len(recs) <= n_good + 1
