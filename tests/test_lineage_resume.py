@@ -176,3 +176,30 @@ def test_snapshot_append_time_travel_and_isolation(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_snapshot(spark, path, 99)
+
+
+def test_snapshot_compaction_preserves_rows_and_history(spark, tmp_path):
+    """Compaction rewrites the live snapshot into few files, preserves
+    every row, references only the compacted directory, and leaves the
+    pre-compaction snapshots time-travel-readable."""
+    from zh_ner_tf_spark.sources.sinks import (
+        committed_snapshots,
+        read_snapshot,
+        snapshot_append,
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    for lo, hi in ((0, 4), (4, 9), (9, 15)):
+        snapshot_append(
+            spark.range(lo, hi).select(F.col("id")).repartition(3), path
+        )
+    before = {r["id"] for r in read_snapshot(spark, path).collect()}
+    sid = snapshot_compact(spark, path, target_partitions=1)
+    assert committed_snapshots(path)[-1] == sid == 4
+    after_df = read_snapshot(spark, path)
+    assert {r["id"] for r in after_df.collect()} == before == set(range(15))
+    # single compacted data dir, one parquet file
+    assert after_df.rdd.getNumPartitions() == 1
+    # history intact: snapshot 2 still reads the first two appends only
+    assert {r["id"] for r in read_snapshot(spark, path, 2).collect()} == set(range(9))

@@ -118,6 +118,37 @@ def snapshot_append(df: DataFrame, path: str) -> int:
     return new_id
 
 
+def snapshot_compact(
+    spark: SparkSession, path: str, target_partitions: int | None = None
+) -> int:
+    """Compaction (Iceberg ``rewrite_data_files`` shape): rewrite the
+    CURRENT snapshot's rows into one fresh directory with
+    ``target_partitions`` files and commit a snapshot referencing ONLY
+    the compacted directory. Old snapshots stay readable (time travel);
+    at crawl scale this is the small-file maintenance pass that keeps
+    scan task counts sane after many incremental appends."""
+    cur = read_snapshot(spark, path)
+    if target_partitions is None:
+        target_partitions = max(
+            1, spark.sparkContext.defaultParallelism
+        )
+    snaps = committed_snapshots(path)
+    new_id = snaps[-1] + 1
+    data_dir = os.path.join(path, "data", f"snap-{new_id:06d}")
+    cur.repartition(target_partitions).write.mode("overwrite").parquet(data_dir)
+    manifest = {
+        "snapshot_id": new_id,
+        "parent_id": snaps[-1],
+        "data_dirs": [data_dir],
+        "compaction": True,
+    }
+    tmp = os.path.join(_snap_dir(path), f".{new_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(_snap_dir(path), f"{new_id}.json"))
+    return new_id
+
+
 def read_snapshot(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
