@@ -130,3 +130,33 @@ def test_gzip_record_straddling_member_edge():
         ("https://a.example/1", BODY_A),
         ("https://b.example/2", BODY_B),
     ]
+
+
+def test_records_separated_by_single_crlf_still_parse():
+    """Sloppy writers emit one CRLF (or none) between records instead of
+    the standard two; the adjacency fast path must still find every
+    record — only junk resync requires the strict boundary."""
+    rec_a = _record("response", "https://a.example/1",
+                    "2024-01-02T03:04:05Z", BODY_A)
+    rec_b = _record("response", "https://b.example/2",
+                    "2024-02-03T04:05:06Z", BODY_B)
+    # _record ends with \r\n\r\n; strip to simulate 1 CRLF / 0 separators
+    one_crlf = rec_a[:-2] + rec_b
+    none_sep = rec_a[:-4] + rec_b
+    for blob in (one_crlf, none_sep):
+        urls = [r[0] for r in parse_warc_records(blob)]
+        assert urls == ["https://a.example/1", "https://b.example/2"], urls
+    # but adjacency is NOT trusted after an invalid-length record: a
+    # body starting with CRLF+WARC/ inside it must not pseudo-parse
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/\r\n\r\n"
+        b"\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://fake.example/\r\n"
+        b"Content-Length: 0\r\n\r\n"
+    )
+    good = _record("response", "https://good.example/",
+                   "2024-01-01T00:00:00Z", BODY_B)
+    urls = [r[0] for r in parse_warc_records(bad + good)]
+    assert "https://fake.example/" not in urls
+    assert "https://good.example/" in urls

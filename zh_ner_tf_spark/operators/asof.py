@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType, TimestampType
 from pyspark.sql.window import Window
 
+# reserved struct-field name for the matched right timestamp; prefixed
+# so it cannot collide with ordinary payload columns (and guarded below)
+_RT_FIELD = "__asof_rt"
+
 
 def asof_join(
     left: DataFrame,
@@ -46,11 +50,16 @@ def asof_join(
         raise ValueError(f"how={how!r}")
     l_payload = [c for c in left.columns if c != key]
     r_payload = [c for c in right.columns if c not in (key, right_ts)]
+    if _RT_FIELD in r_payload:
+        raise ValueError(
+            f"right payload column {_RT_FIELD!r} collides with the "
+            "as-of join's matched-timestamp field; rename it"
+        )
     # One struct carries the whole right row (payload + matched ts):
     # last(struct, ignorenulls) fills rows atomically, never per-column.
     r_struct_type = StructType(
         [StructField(c, right.schema[c].dataType) for c in r_payload]
-        + [StructField("_rt", TimestampType())]
+        + [StructField(_RT_FIELD, TimestampType())]
     )
     l_tag = left.select(
         F.col(key).alias("_k"),
@@ -67,7 +76,7 @@ def asof_join(
           for c in l_payload],
         F.struct(
             *[F.col(c).alias(c) for c in r_payload],
-            F.col(right_ts).cast("timestamp").alias("_rt"),
+            F.col(right_ts).cast("timestamp").alias(_RT_FIELD),
         ).alias("_r"),
     )
     w = (
@@ -85,7 +94,7 @@ def asof_join(
         F.col("_t").alias(left_ts),
         *[F.col(f"_l_{c}").alias(c) for c in l_payload if c != left_ts],
         *[F.col("_r")[c].alias(c) for c in r_payload],
-        F.col("_r")["_rt"].alias(f"{right_ts}_matched"),
+        F.col("_r")[_RT_FIELD].alias(f"{right_ts}_matched"),
     )
     if how == "inner":
         out = out.filter(F.col(f"{right_ts}_matched").isNotNull())

@@ -133,15 +133,19 @@ def _gram_hashes_np(text: str | None, n: int, distinct: bool = True):
     return np.unique(gh).tolist() if distinct else gh.tolist()
 
 
-def gram_hashes_udf(n: int):
-    """Arrow-vectorized pandas UDF: text -> array<bigint> of distinct
-    word-n-gram hashes (spec: _gram_hashes_np)."""
+def gram_hashes_udf(n: int, distinct: bool = True):
+    """Arrow-vectorized pandas UDF: text -> array<bigint> of word-n-gram
+    hashes (spec: _gram_hashes_np) — distinct set by default, positional
+    order with ``distinct=False`` (the winnowing input)."""
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
     def _grams(texts):
-        return pd.Series([_gram_hashes_np(t, n) for t in texts], dtype=object)
+        return pd.Series(
+            [_gram_hashes_np(t, n, distinct=distinct) for t in texts],
+            dtype=object,
+        )
 
     return _grams
 
@@ -294,19 +298,11 @@ def positional_gram_rows(
     """(_k, pos, gh) rows: word-n-gram hashes in POSITIONAL order (not
     deduped) — the input sequence winnowing slides its window over.
     Same Arrow-vectorized construction as ngram_hash_rows; no shuffle."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
-    def _grams(texts):
-        return pd.Series(
-            [_gram_hashes_np(t, n, distinct=False) for t in texts],
-            dtype=object,
-        )
-
     return df.select(
         F.col(key_col).alias("_k"),
-        F.posexplode(_grams(F.col(text_col))).alias("pos", "gh"),
+        F.posexplode(
+            gram_hashes_udf(n, distinct=False)(F.col(text_col))
+        ).alias("pos", "gh"),
     )
 
 

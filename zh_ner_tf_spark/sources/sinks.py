@@ -88,34 +88,57 @@ def committed_snapshots(path: str) -> list[int]:
     )
 
 
+def _commit_manifest(path: str, new_id: int, manifest: dict) -> bool:
+    """Compare-and-swap commit: create ``snapshots/<id>.json`` with
+    O_CREAT|O_EXCL so exactly ONE writer can publish a given snapshot id
+    (Iceberg's CAS commit in miniature). Returns False when another
+    writer won the race — the caller retries with a fresh id; its
+    already-written data dir stays orphaned and invisible."""
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    target = os.path.join(_snap_dir(path), f"{new_id}.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    return True
+
+
+_COMMIT_RETRIES = 64
+
+
 def snapshot_append(df: DataFrame, path: str) -> int:
     """Append ``df`` as a new snapshot; returns the new snapshot id.
 
-    Data lands in its own directory first; the snapshot becomes visible
-    only when its manifest (previous snapshot's file list + the new
-    directory) is atomically renamed into ``snapshots/`` — the Iceberg
-    commit protocol in miniature. A writer that dies before the rename
-    leaves an orphan data dir invisible to every reader."""
-    snaps = committed_snapshots(path)
-    new_id = (snaps[-1] + 1) if snaps else 1
-    data_dir = os.path.join(path, "data", f"snap-{new_id:06d}")
+    Data lands ONCE in its own uniquely-named directory; visibility
+    comes only from the CAS manifest commit (previous snapshot's dir
+    list + the new directory). Concurrent appenders never clobber each
+    other: the loser's exclusive-create fails and it retries with the
+    next id against the refreshed parent. A writer that dies before
+    committing leaves an orphan data dir invisible to every reader."""
+    import uuid
+
+    data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(data_dir)
-    if snaps:
-        with open(os.path.join(_snap_dir(path), f"{snaps[-1]}.json")) as f:
-            prev = json.load(f)["data_dirs"]
-    else:
-        prev = []
-    os.makedirs(_snap_dir(path), exist_ok=True)
-    manifest = {
-        "snapshot_id": new_id,
-        "parent_id": snaps[-1] if snaps else None,
-        "data_dirs": prev + [data_dir],
-    }
-    tmp = os.path.join(_snap_dir(path), f".{new_id}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(_snap_dir(path), f"{new_id}.json"))
-    return new_id
+    for _ in range(_COMMIT_RETRIES):
+        snaps = committed_snapshots(path)
+        new_id = (snaps[-1] + 1) if snaps else 1
+        if snaps:
+            with open(os.path.join(_snap_dir(path), f"{snaps[-1]}.json")) as f:
+                prev = json.load(f)["data_dirs"]
+        else:
+            prev = []
+        manifest = {
+            "snapshot_id": new_id,
+            "parent_id": snaps[-1] if snaps else None,
+            "data_dirs": prev + [data_dir],
+        }
+        if _commit_manifest(path, new_id, manifest):
+            return new_id
+    raise RuntimeError(
+        f"snapshot_append lost {_COMMIT_RETRIES} commit races on {path}"
+    )
 
 
 def snapshot_compact(
@@ -127,25 +150,32 @@ def snapshot_compact(
     the compacted directory. Old snapshots stay readable (time travel);
     at crawl scale this is the small-file maintenance pass that keeps
     scan task counts sane after many incremental appends."""
-    cur = read_snapshot(spark, path)
+    import uuid
+
+    snaps = committed_snapshots(path)
+    base = snaps[-1]
+    cur = read_snapshot(spark, path, base)
     if target_partitions is None:
         target_partitions = max(
             1, spark.sparkContext.defaultParallelism
         )
-    snaps = committed_snapshots(path)
-    new_id = snaps[-1] + 1
-    data_dir = os.path.join(path, "data", f"snap-{new_id:06d}")
+    data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
     cur.repartition(target_partitions).write.mode("overwrite").parquet(data_dir)
+    new_id = base + 1
     manifest = {
         "snapshot_id": new_id,
-        "parent_id": snaps[-1],
+        "parent_id": base,
         "data_dirs": [data_dir],
         "compaction": True,
     }
-    tmp = os.path.join(_snap_dir(path), f".{new_id}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(_snap_dir(path), f"{new_id}.json"))
+    # Compaction replaces the WHOLE table as of `base`, so unlike append
+    # it cannot blind-retry past a concurrent commit (the rewrite would
+    # drop those rows): CAS on base+1 or tell the caller to re-run.
+    if not _commit_manifest(path, new_id, manifest):
+        raise RuntimeError(
+            f"concurrent commit advanced {path} past snapshot {base}; "
+            "re-run compaction against the new head"
+        )
     return new_id
 
 

@@ -53,25 +53,39 @@ def _scan(
 
     Record grammar (ISO 28500): ``WARC/1.x\\r\\n`` header block,
     ``\\r\\n\\r\\n``, Content-Length content bytes, ``\\r\\n\\r\\n``.
-    Records are located ONLY at ``\\r\\n\\r\\nWARC/`` boundaries (or
-    offset 0), so a literal ``WARC/`` inside an HTTP body never spawns a
-    garbage pseudo-record. A record with a missing or unparsable
-    Content-Length is SKIPPED (not treated as length 0) and the scanner
-    resyncs at the next record boundary. ``final=False`` keeps any
-    incomplete trailing record in the remainder for the next member.
+    A record may start (a) at offset 0, (b) immediately after the
+    previous record's content separated by any run of CRLFs — the
+    adjacency fast path, which keeps sloppy single-CRLF-separated
+    archives fully parseable — or (c) after junk, located ONLY at a
+    ``\\r\\n\\r\\nWARC/`` boundary, so a literal ``WARC/`` inside an
+    HTTP body never spawns a garbage pseudo-record. A record with a
+    missing or unparsable Content-Length is SKIPPED (not treated as
+    length 0) and the scanner resyncs at the next record boundary.
+    ``final=False`` keeps any incomplete trailing record in the
+    remainder for the next member.
     """
     out: list[tuple[str, datetime | None, bytes]] = []
     pos = 0
     n = len(buf)
     keep_from = n
+    # adjacency is only trusted at offset 0 and after a VALID record —
+    # after an invalid-length skip, `pos` points into unknown content
+    # and only the strict boundary may resync
+    adjacent_ok = True
     while pos < n:
-        if pos == 0 and buf.startswith(b"WARC/"):
-            head_start = 0
+        # adjacency fast path: CRLF-run then a record header right where
+        # the previous record ended (or at offset 0)
+        p2 = pos
+        while buf.startswith(b"\r\n", p2):
+            p2 += 2
+        if adjacent_ok and buf.startswith(b"WARC/", p2):
+            head_start = p2
         else:
             b = buf.find(_BOUNDARY, pos)
             if b < 0:
                 if not final:
-                    # a boundary might straddle the member edge
+                    # a boundary (or a partial adjacent header) might
+                    # straddle the member edge
                     keep_from = max(pos, n - (len(_BOUNDARY) - 1))
                 break
             head_start = b + 4
@@ -96,6 +110,7 @@ def _scan(
         if length is None:
             # invalid record: drop it, resync at the next boundary
             pos = content_start
+            adjacent_ok = False
             continue
         if content_start + length > n:
             if not final:
@@ -104,6 +119,7 @@ def _scan(
             length = n - content_start  # truncated final record
         content = buf[content_start: content_start + length]
         pos = content_start + length
+        adjacent_ok = True
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")

@@ -16,7 +16,7 @@ late data past the watermark is dropped by Spark's state manager.
 
 from __future__ import annotations
 
-import math
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -56,10 +56,14 @@ _OUT_SCHEMA = "user_id bigint, n bigint, value_c bigint"
 
 
 def _half_up(x: float) -> int:
-    """HALF_UP rounding (away from zero at .5), matching Spark's
-    ``F.round`` — Python's built-in round() is banker's rounding and
-    would break the pinned batch-equivalence on .5 boundaries."""
-    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+    """HALF_UP rounding exactly as Spark's ``F.round`` does it —
+    BigDecimal on the double's shortest decimal repr, then HALF_UP.
+    Python's round() is banker's rounding, and floor(abs+0.5) double-
+    rounds when x+0.5 carries in IEEE (e.g. the largest double < 0.5
+    rounds UP); Decimal(repr(x)) avoids both failure modes."""
+    return int(
+        Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
 
 
 def _update_user(key, pdf_iter, state: GroupState):
