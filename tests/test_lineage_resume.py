@@ -203,3 +203,46 @@ def test_snapshot_compaction_preserves_rows_and_history(spark, tmp_path):
     assert after_df.rdd.getNumPartitions() == 1
     # history intact: snapshot 2 still reads the first two appends only
     assert {r["id"] for r in read_snapshot(spark, path, 2).collect()} == set(range(9))
+
+
+def test_snapshot_append_survives_commit_race(spark, tmp_path, monkeypatch):
+    """CAS commit: when another writer claims the next snapshot id
+    first, snapshot_append retries against the refreshed head instead of
+    clobbering the winner's manifest; compaction refuses and asks for a
+    re-run."""
+    import json
+    import os
+
+    from zh_ner_tf_spark.sources.sinks import (
+        committed_snapshots,
+        read_snapshot,
+        snapshot_append,
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(spark.range(3), path)
+    # a rival writer publishes snapshot 2 out from under us
+    rival_dir = os.path.join(path, "data", "rival")
+    spark.range(100, 103).write.parquet(rival_dir)
+    with open(os.path.join(path, "snapshots", "1.json")) as f:
+        prev = json.load(f)["data_dirs"]
+    with open(os.path.join(path, "snapshots", "2.json"), "w") as f:
+        json.dump({"snapshot_id": 2, "parent_id": 1,
+                   "data_dirs": prev + [rival_dir]}, f)
+    sid = snapshot_append(spark.range(200, 202), path)
+    assert sid == 3 and committed_snapshots(path) == [1, 2, 3]
+    ids = {r["id"] for r in read_snapshot(spark, path).collect()}
+    assert ids == {0, 1, 2, 100, 101, 102, 200, 201}  # nobody's rows lost
+    # compaction CAS: a rival commits id 4 BETWEEN compaction's read of
+    # the head (stale: 3) and its manifest commit — simulated by pinning
+    # compaction's view of the snapshot list while 4.json appears
+    import zh_ner_tf_spark.sources.sinks as sinks
+
+    with open(os.path.join(path, "snapshots", "4.json"), "w") as f:
+        json.dump({"snapshot_id": 4, "parent_id": 3,
+                   "data_dirs": prev}, f)
+    monkeypatch.setattr(sinks, "committed_snapshots", lambda p: [1, 2, 3])
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="re-run compaction"):
+        sinks.snapshot_compact(spark, path)
