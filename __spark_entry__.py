@@ -893,6 +893,32 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed aggregation's BATCH twin on the events
+    table (same function, same plan modulo the watermark node) — pins
+    the tumbling-window bucketing + cents arithmetic the stream tests
+    assert equivalence against."""
+    from zh_ner_tf_spark.streaming.stateful import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(ev).select(
+        "window_start", "event_type",
+        F.col("n").cast("bigint"), F.col("value_c").cast("bigint"),
+    )
+
+
+def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful stream operator's BATCH twin (final per-user state)."""
+    from zh_ner_tf_spark.streaming.stateful import running_user_totals_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return running_user_totals_batch(ev).select(
+        F.col("user_id").cast("bigint"),
+        F.col("n").cast("bigint"),
+        F.col("value_c").cast("bigint"),
+    )
+
+
 def q_approx_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch (the dedup-stats primitive at
     crawl scale, where exact count_distinct shuffles every key): the
@@ -1073,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "grouping_sets_orders": q_grouping_sets_orders,
         "approx_distinct_documents": q_approx_distinct_documents,
+        "windowed_event_counts": q_windowed_event_counts,
+        "running_user_totals": q_running_user_totals,
         "median_order_value": q_median_order_value,
         "pivot_order_status": q_pivot_order_status,
         "set_ops_customers": q_set_ops_customers,
@@ -1791,6 +1819,19 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
        sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS price_c
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+    fam_sqls["windowed_event_counts"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2
+"""
+
+    fam_sqls["running_user_totals"] = """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_c
+FROM events GROUP BY user_id
 """
 
     # the oracle pins the exact distinct count and the accuracy bound;
