@@ -246,3 +246,30 @@ def test_snapshot_append_survives_commit_race(spark, tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="re-run compaction"):
         sinks.snapshot_compact(spark, path)
+
+
+def test_snapshot_diff_incremental_reads(spark, tmp_path):
+    """snapshot_diff reads exactly the rows appended in the range (the
+    incremental-consumption contract), returns empty for an empty range,
+    and refuses to diff across a compaction (double-count hazard)."""
+    import pytest as _pytest
+
+    from zh_ner_tf_spark.sources.sinks import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_diff,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(spark.range(0, 3), path)      # snap 1
+    snapshot_append(spark.range(3, 7), path)      # snap 2
+    snapshot_append(spark.range(7, 8), path)      # snap 3
+    assert {r["id"] for r in snapshot_diff(spark, path, 1).collect()} == set(range(3, 8))
+    assert {r["id"] for r in snapshot_diff(spark, path, 1, 2).collect()} == {3, 4, 5, 6}
+    assert snapshot_diff(spark, path, 3, 3).count() == 0
+    snapshot_compact(spark, path, target_partitions=1)   # snap 4 rewrites
+    with _pytest.raises(ValueError, match="re-baseline"):
+        snapshot_diff(spark, path, 2, 4)
+    # post-compaction appends diff cleanly from the compacted base
+    snapshot_append(spark.range(100, 102), path)  # snap 5
+    assert {r["id"] for r in snapshot_diff(spark, path, 4).collect()} == {100, 101}

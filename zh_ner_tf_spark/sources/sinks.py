@@ -179,6 +179,37 @@ def snapshot_compact(
     return new_id
 
 
+def snapshot_diff(
+    spark: SparkSession, path: str, from_id: int, to_id: int | None = None
+) -> DataFrame:
+    """Incremental read: ONLY the rows appended after ``from_id`` (up to
+    ``to_id``, default latest) — the CDC-lite consumption pattern that
+    lets a downstream pipeline process each crawl increment once,
+    reading O(new data) instead of rescanning the table. Defined for
+    append-only history; raises if a compaction rewrote the base
+    snapshot's files inside the range (the diff would double-count)."""
+    snaps = committed_snapshots(path)
+    if to_id is None:
+        to_id = snaps[-1]
+    if from_id not in snaps or to_id not in snaps or from_id > to_id:
+        raise ValueError(f"bad snapshot range [{from_id}, {to_id}] of {snaps}")
+
+    def dirs(sid: int) -> list[str]:
+        with open(os.path.join(_snap_dir(path), f"{sid}.json")) as f:
+            return json.load(f)["data_dirs"]
+
+    base, head = dirs(from_id), dirs(to_id)
+    if not set(base) <= set(head):
+        raise ValueError(
+            f"snapshots {from_id}..{to_id} are not append-only (a "
+            "compaction rewrote the base files); re-baseline the consumer"
+        )
+    new_dirs = [d for d in head if d not in set(base)]
+    if not new_dirs:
+        return read_snapshot(spark, path, to_id).limit(0)
+    return spark.read.parquet(*new_dirs)
+
+
 def read_snapshot(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
