@@ -105,6 +105,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append deterministic quality columns: n_chars_m, n_tokens,
     avg_token_len, stopword_ratio, punct_ratio, quality_score (all
     rounded for cross-engine stability)."""
+    if "_padded_qf" in df.columns:
+        raise ValueError(
+            "input column '_padded_qf' collides with quality_features' "
+            "internal hoisted projection; rename it"
+        )
     t = F.col(text_col)
     # hoisted projection: one padded copy per row shared by all
     # stopword counts (see padded_text docstring)

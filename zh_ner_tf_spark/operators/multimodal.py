@@ -94,13 +94,12 @@ def extract_media_features(
     return df.select(*id_cols, payload_col).mapInPandas(fn, schema=schema)
 
 
-def fake_resize(payload: bytes, width: int, height: int) -> bytes | None:
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic codec-free stand-in for an image resize: re-keys the
     payload by the target dims and emits a byte string whose length
     scales with the target pixel count — size accounting downstream
-    stays realistic, values stay pinned for tests."""
-    if payload is None:
-        return None
+    stays realistic, values stay pinned for tests. Never sees None:
+    resize_media handles NULL passthrough before the codec boundary."""
     n = max(16, (width * height) // 1024)
     h0 = hashlib.sha256(
         payload + width.to_bytes(4, "big") + height.to_bytes(4, "big")
@@ -129,10 +128,11 @@ def resize_media(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            # NULL passthrough lives HERE, not in each pluggable codec —
+            # a real resize_fn (PIL etc.) never sees a None payload
             out[payload_col] = pdf[payload_col].map(
-                lambda b: resize_fn(
-                    bytes(b) if b is not None else None, width, height
-                )
+                lambda b: None if b is None
+                else resize_fn(bytes(b), width, height)
             )
             if "width" in out.columns:
                 out["width"] = np.int32(width)

@@ -89,20 +89,30 @@ def committed_snapshots(path: str) -> list[int]:
 
 
 def _commit_manifest(path: str, new_id: int, manifest: dict) -> bool:
-    """Compare-and-swap commit: create ``snapshots/<id>.json`` with
-    O_CREAT|O_EXCL so exactly ONE writer can publish a given snapshot id
-    (Iceberg's CAS commit in miniature). Returns False when another
-    writer won the race — the caller retries with a fresh id; its
-    already-written data dir stays orphaned and invisible."""
+    """Compare-and-swap commit: write the manifest to a hidden temp file
+    and atomically ``os.link`` it to ``snapshots/<id>.json`` — the link
+    either publishes a COMPLETE manifest or fails with FileExistsError
+    when another writer won the race (Iceberg's CAS commit in
+    miniature). Readers can never observe a partially-written manifest,
+    and a writer crashing mid-commit leaves only an invisible temp file,
+    not a poisoned snapshot id. Returns False on a lost race — the
+    caller retries with a fresh id; its data dir stays orphaned."""
+    import uuid
+
     os.makedirs(_snap_dir(path), exist_ok=True)
     target = os.path.join(_snap_dir(path), f"{new_id}.json")
+    tmp = os.path.join(
+        _snap_dir(path), f".{new_id}-{uuid.uuid4().hex[:8]}.tmp"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, target)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 _COMMIT_RETRIES = 64
@@ -153,6 +163,8 @@ def snapshot_compact(
     import uuid
 
     snaps = committed_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
     base = snaps[-1]
     cur = read_snapshot(spark, path, base)
     if target_partitions is None:
@@ -189,6 +201,8 @@ def snapshot_diff(
     append-only history; raises if a compaction rewrote the base
     snapshot's files inside the range (the diff would double-count)."""
     snaps = committed_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
     if to_id is None:
         to_id = snaps[-1]
     if from_id not in snaps or to_id not in snaps or from_id > to_id:
@@ -199,12 +213,13 @@ def snapshot_diff(
             return json.load(f)["data_dirs"]
 
     base, head = dirs(from_id), dirs(to_id)
-    if not set(base) <= set(head):
+    bset = set(base)
+    if not bset <= set(head):
         raise ValueError(
             f"snapshots {from_id}..{to_id} are not append-only (a "
             "compaction rewrote the base files); re-baseline the consumer"
         )
-    new_dirs = [d for d in head if d not in set(base)]
+    new_dirs = [d for d in head if d not in bset]
     if not new_dirs:
         return read_snapshot(spark, path, to_id).limit(0)
     return spark.read.parquet(*new_dirs)

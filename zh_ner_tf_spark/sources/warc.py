@@ -47,8 +47,8 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
 
 
 def _scan(
-    buf: bytes, final: bool
-) -> tuple[list[tuple[str, datetime | None, bytes]], bytes]:
+    buf: bytes, final: bool, adjacent_start: bool = True
+) -> tuple[list[tuple[str, datetime | None, bytes]], bytes, bool]:
     """Parse complete records from ``buf``; return (records, remainder).
 
     Record grammar (ISO 28500): ``WARC/1.x\\r\\n`` header block,
@@ -62,19 +62,24 @@ def _scan(
     missing or unparsable Content-Length is SKIPPED (not treated as
     length 0) and the scanner resyncs at the next record boundary.
     ``final=False`` keeps any incomplete trailing record in the
-    remainder for the next member.
+    remainder for the next member; the third return value tells the
+    NEXT scan whether adjacency may be trusted at the remainder's
+    offset 0 (thread it back in via ``adjacent_start``), so junk
+    straddling a member edge cannot smuggle a body-embedded header past
+    the strict-boundary rule.
     """
     out: list[tuple[str, datetime | None, bytes]] = []
     pos = 0
     n = len(buf)
     keep_from = n
-    # adjacency is only trusted at offset 0 and after a VALID record —
-    # after an invalid-length skip, `pos` points into unknown content
-    # and only the strict boundary may resync
-    adjacent_ok = True
+    # adjacency is only trusted at a trusted offset 0 and after a VALID
+    # record — after an invalid-length skip, `pos` points into unknown
+    # content and only the strict boundary may resync
+    adjacent_ok = adjacent_start
+    carry_adjacent = adjacent_ok
     while pos < n:
         # adjacency fast path: CRLF-run then a record header right where
-        # the previous record ended (or at offset 0)
+        # the previous record ended (or at a trusted offset 0)
         p2 = pos
         while buf.startswith(b"\r\n", p2):
             p2 += 2
@@ -85,14 +90,20 @@ def _scan(
             if b < 0:
                 if not final:
                     # a boundary (or a partial adjacent header) might
-                    # straddle the member edge
+                    # straddle the member edge; the carried tail keeps
+                    # the CURRENT adjacency trust, not a fresh True
                     keep_from = max(pos, n - (len(_BOUNDARY) - 1))
+                    carry_adjacent = adjacent_ok
                 break
             head_start = b + 4
         head_end = buf.find(b"\r\n\r\n", head_start)
         if head_end < 0:
             if not final:
+                # the remainder starts at a header located by a trusted
+                # rule (adjacency after a valid record, or the strict
+                # boundary), so the next scan may trust its offset 0
                 keep_from = head_start
+                carry_adjacent = True
             break
         headers: dict[str, str] = {}
         for line in buf[head_start:head_end].split(b"\r\n")[1:]:
@@ -115,6 +126,7 @@ def _scan(
         if content_start + length > n:
             if not final:
                 keep_from = head_start
+                carry_adjacent = True  # trusted header start (see above)
                 break
             length = n - content_start  # truncated final record
         content = buf[content_start: content_start + length]
@@ -134,7 +146,11 @@ def _scan(
         http_end = content.find(b"\r\n\r\n")
         body = content[http_end + 4:] if http_end >= 0 else content
         out.append((url, ts, body))
-    return out, buf[keep_from:]
+    if keep_from >= n:
+        # nothing carried: the next member starts fresh with whatever
+        # trust the scan ended in (True after a clean final record)
+        carry_adjacent = adjacent_ok
+    return out, buf[keep_from:], carry_adjacent
 
 
 def parse_warc_records(
@@ -146,15 +162,18 @@ def parse_warc_records(
     record per member, so the carry is normally empty)."""
     if raw[:2] == b"\x1f\x8b":
         carry = b""
+        adj = True
         for member in _iter_gzip_members(raw):
-            recs, carry = _scan(carry + member if carry else member,
-                                final=False)
+            recs, carry, adj = _scan(
+                carry + member if carry else member,
+                final=False, adjacent_start=adj,
+            )
             yield from recs
         if carry:
-            recs, _ = _scan(carry, final=True)
+            recs, _, _ = _scan(carry, final=True, adjacent_start=adj)
             yield from recs
     else:
-        recs, _ = _scan(raw, final=True)
+        recs, _, _ = _scan(raw, final=True)
         yield from recs
 
 
