@@ -224,3 +224,52 @@ def test_fused_triples_match_relational_path(spark, pages_df, pages_rows, tiny_m
         for r in mentions.collect()
     )
     assert m_fused == m_rel
+
+
+def test_pipeline_on_zero_matching_pages_returns_empty_frames(spark, tmp_path):
+    """A crawl slice with no pages in the target language must flow
+    through the whole DAG to empty (not crash) outputs — the common
+    production partition-of-nothing case."""
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, pages_schema
+    from zh_ner_tf_spark.pipeline import run_pipeline
+
+    rows = [r for r in gen_pages(20, seed=42)]
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], "xx") for r in rows],
+        schema=pages_schema(),
+    )
+    word2id = {"<PAD>": 0, "<NUM>": 1, "<ENG>": 2, "<UNK>": 3}
+    out = run_pipeline(spark, pages, planted_weights(word2id), word2id,
+                       lang="zh")
+    for name in ("sentences", "mentions", "triples", "nodes", "edges"):
+        assert out[name].count() == 0, name
+
+
+def test_tagger_and_winnow_on_empty_input(spark):
+    """Empty DataFrames through the tagger and winnowing produce empty
+    outputs with the right schema (no UDF crash on zero Arrow batches)."""
+    import numpy as np
+
+    from zh_ner_tf_spark.operators.dedup import winnow_fingerprints
+    from zh_ner_tf_spark.operators.tagger import broadcast_model, tag_sentences
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    wf = winnow_fingerprints(empty_docs, "doc_id", "text")
+    assert wf.count() == 0
+    assert [f.name for f in wf.schema] == ["doc_id", "fp_pos", "fp_hash"]
+
+    word2id = {"<PAD>": 0, "a": 1, "<NUM>": 2, "<ENG>": 3, "<UNK>": 4}
+    rng = np.random.RandomState(0)
+    u = lambda *s: rng.uniform(-0.1, 0.1, s).astype(np.float32)  # noqa: E731
+    W = {
+        "embeddings": u(5, 4),
+        "lstm_fw_kernel": u(8, 16), "lstm_fw_bias": u(16),
+        "lstm_bw_kernel": u(8, 16), "lstm_bw_bias": u(16),
+        "proj_W": u(8, 7), "proj_b": u(7), "transitions": u(7, 7),
+    }
+    wb, vb = broadcast_model(spark, W, word2id)
+    empty_sents = spark.createDataFrame([], "doc_id bigint, sentence string")
+    tagged = tag_sentences(empty_sents, wb, vb, ["doc_id"],
+                           chars_col="sentence", emit="mentions")
+    assert tagged.count() == 0

@@ -27,9 +27,12 @@ from zh_ner_tf_spark.config import DEFAULT_SALT_BUCKETS, HOT_KEY_FACTOR
 def hot_key_census(
     df: DataFrame, key_cols: list[str], factor: int = HOT_KEY_FACTOR
 ) -> DataFrame:
-    """Keys whose row count exceeds ``factor`` * mean-rows-per-key."""
+    """Keys whose row count exceeds ``factor`` * mean-rows-per-key.
+    Empty input has no mean and no hot keys — returns the empty frame."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     stats = counts.agg(F.avg("n").alias("mean_n")).collect()[0]
+    if stats["mean_n"] is None:
+        return counts.select(*key_cols, "n").limit(0)
     return counts.filter(F.col("n") > factor * float(stats["mean_n"])).select(
         *key_cols, "n"
     )
