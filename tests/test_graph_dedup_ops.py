@@ -475,3 +475,32 @@ def test_winnow_fingerprints_match_bruteforce_and_guarantee(spark):
     h0 = {h for d, p, h in got if d == 0}
     h1 = {h for d, p, h in got if d == 1}
     assert h0 & h1
+
+
+def test_similarity_operators_on_empty_corpus(spark):
+    """Empty corpora flow through every similarity path to empty results
+    with the standard output schema (no codebook-fit or dim-inference
+    crash) — the partition-of-nothing production case."""
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.operators.dedup import embedding_near_dups
+    from zh_ner_tf_spark.operators.similarity import (
+        ann_topk,
+        brute_force_topk,
+        ivf_topk,
+        lsh_candidates,
+    )
+
+    emptye = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    q = emptye.select(F.col("vec_id").alias("query_id"), "embedding")
+    for name, df in (
+        ("brute", brute_force_topk(emptye, q)),
+        ("ivf", ivf_topk(emptye, q)),
+        ("ann", ann_topk(emptye, q)),
+    ):
+        assert df.count() == 0, name
+        assert [f.name for f in df.schema] == [
+            "query_id", "vec_id", "cosine", "rank"
+        ], name
+    assert lsh_candidates(emptye).count() == 0
+    assert embedding_near_dups(emptye).count() == 0

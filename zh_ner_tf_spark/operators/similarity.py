@@ -106,6 +106,10 @@ def lsh_candidates(
     """Candidate (src, dst) pairs sharing at least one signature band."""
     if dim is None:
         first = emb.select(F.size(vec_col).alias("d")).first()
+        if first is None:  # empty corpus: no pairs
+            return emb.select(
+                F.col(key_col).alias("src"), F.col(key_col).alias("dst")
+            ).limit(0)
         dim = int(first["d"])
     planes = _hyperplanes(dim, n_bits, seed)
     sig = emb.select(
@@ -151,6 +155,8 @@ def fit_ivf_centroids(
         [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        return None  # empty corpus: no codebook (callers fall back)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
@@ -200,6 +206,11 @@ def ivf_topk(
     join, exact rescoring on ~corpus * nprobe / n_centroids rows."""
     spark = corpus.sparkSession
     cent = fit_ivf_centroids(corpus, n_centroids, vec_col, seed=seed)
+    if cent is None:
+        # empty corpus: no codebook to fit; the exact path degenerates
+        # to the same (empty) result with the identical output schema
+        return brute_force_topk(corpus, queries, k, key_col, vec_col,
+                                query_key)
     cent_bc = spark.sparkContext.broadcast(cent)
     c_assign = _ivf_assign_udf(cent_bc, 1)
     q_assign = _ivf_assign_udf(cent_bc, nprobe)
@@ -239,6 +250,10 @@ def ann_topk(
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: score only bucket-mates."""
     first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        # empty corpus: identical (empty) output via the exact path
+        return brute_force_topk(corpus, queries, k, key_col, vec_col,
+                                query_key)
     planes = _hyperplanes(int(first["d"]), n_bits, seed)
     bits_per_band = n_bits // n_bands
     mask = (1 << bits_per_band) - 1
