@@ -103,3 +103,27 @@ def test_padded_text_hoist_survives_optimizer(spark):
         quality_features(df)._jdf.queryExecution().optimizedPlan().toString()
     )
     assert qf_plan.count("regexp_replace") == 1
+
+
+def test_null_text_flows_through_text_and_sketch_operators(spark):
+    """Real crawls carry NULL text rows: language-ID says 'und', quality
+    features go NULL-with-low-score, fingerprints are NULL, sketches and
+    splitters skip the row — nothing crashes."""
+    from zh_ner_tf_spark.functions.text import doc_fingerprint, quality_features
+    from zh_ner_tf_spark.operators.dedup import simhash_table, winnow_fingerprints
+    from zh_ner_tf_spark.operators.sentences import split_sentences
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the cat and dog")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["l"]
+           for r in docs.select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {1: "und", 2: "en"}
+    qf = {r["doc_id"]: r["n_tokens"] for r in quality_features(docs).collect()}
+    assert qf[1] is None and qf[2] == 4
+    fp = {r["doc_id"]: r["f"]
+          for r in docs.select("doc_id", doc_fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[1] is None and fp[2] is not None
+    assert simhash_table(docs, "doc_id", "text").count() == 1
+    assert winnow_fingerprints(docs, "doc_id", "text").count() >= 1
+    assert split_sentences(docs, "text", ["doc_id"]).count() == 1
