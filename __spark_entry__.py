@@ -622,6 +622,48 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_fixture() -> tuple[list[dict], dict, dict]:
+    """Deterministic (pages rows, word2id, planted weights) shared by
+    the flagship-pipeline driver row and its sequential oracle."""
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, oracle_extract_text
+    from zh_ner_tf_spark.oracle import normalize_token
+
+    rows = gen_pages(150, seed=SEED)
+    word2id = {"<PAD>": 0}
+    for row in rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    return rows, word2id, planted_weights(word2id)
+
+
+def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FLAGSHIP, value-exact: the fused distributed pages -> extract
+    -> sentences -> BiLSTM-CRF tagger -> mentions -> pattern triples
+    pipeline over the deterministic pages fixture, checked against a
+    constant truth table computed by the SEQUENTIAL reference pipeline
+    (oracle extractor + NumPy tagger + pure-Python pattern matcher) at
+    SQL-generation time. P/R is exactly 1.0 on the fixture (patterns are
+    frozen and shared), so the hash gate is exact — this moves the
+    pipeline from smoke-checked (entry) to value-gated."""
+    from zh_ner_tf_spark.fixtures.pages import pages_schema
+    from zh_ner_tf_spark.pipeline import run_pipeline
+
+    rows, word2id, weights = _pipeline_fixture()
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in rows],
+        schema=pages_schema(),
+    )
+    out = run_pipeline(spark, pages, weights, word2id, lang="zh")
+    return out["triples"].select(
+        "url", F.col("sent_id").cast("bigint"), "subj", "pred", "obj"
+    )
+
+
 def q_extract_text_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical html->text flagship gate through the driver:
     the vectorized regex-pipeline UDF (operators/extract_text.py) runs
@@ -1088,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_bytes": q_extract_text_bytes,
         "embedding_near_dup": q_embedding_near_dup,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "pipeline_triples": q_pipeline_triples,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
@@ -1275,6 +1318,55 @@ FROM p
 WHERE round(len(list_intersect(sha, shb))::DOUBLE /
             len(list_distinct(list_concat(sha, shb)))::DOUBLE, 6) >= 0.5
 """
+
+
+def _pipeline_triples_sql() -> str:
+    """Constant truth table: the sequential reference pipeline (oracle
+    extract -> regex sentence split -> NumPy tagger -> BIO spans ->
+    pattern match) over the same seeded fixture the Spark query runs."""
+    import re
+
+    from zh_ner_tf_spark.config import (
+        SENTENCE_SPLIT_REGEX,
+        TRIPLE_MAX_GAP,
+        TRIPLE_PATTERNS,
+    )
+    from zh_ner_tf_spark.fixtures.pages import oracle_extract_text
+    from zh_ner_tf_spark.oracle import get_entities, tag_sentence
+
+    rows, word2id, weights = _pipeline_fixture()
+    compiled = [(pred, re.compile(rx)) for pred, rx in TRIPLE_PATTERNS]
+    vals = []
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    for row in rows:
+        if row["lang"] != "zh":
+            continue
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        sents = [s.strip() for s in re.split(SENTENCE_SPLIT_REGEX, text)]
+        sents = [s for s in sents if s]
+        for sent_id, sent in enumerate(sents):
+            chars = list(sent)
+            tags = tag_sentence(chars, word2id, weights)
+            spans = get_entities(tags, chars)
+            subs = [s for s in spans if s[1] == "PER"]
+            objs = [s for s in spans if s[1] in ("ORG", "LOC")]
+            for sm, _, _, se in subs:
+                for om, _, ob, _ in objs:
+                    if ob <= se or (ob - se - 1) > TRIPLE_MAX_GAP:
+                        continue
+                    gap = sent[se + 1: ob]
+                    for pred, rx in compiled:
+                        if rx.search(gap):
+                            vals.append(
+                                f"('{esc(row['url'])}', {sent_id}::BIGINT, "
+                                f"'{esc(sm)}', '{esc(pred)}', '{esc(om)}')"
+                            )
+                            break
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(url, sent_id, subj, pred, obj)"
+    )
 
 
 def _extract_text_sql() -> str:
@@ -1712,6 +1804,8 @@ FROM ranked WHERE rank <= 10
     fam_sqls["ann_topk"] = _ann_topk_sql()
 
     fam_sqls["extract_text_bytes"] = _extract_text_sql()
+
+    fam_sqls["pipeline_triples"] = _pipeline_triples_sql()
 
     fam_sqls["embedding_near_dup"] = _embedding_near_dup_sql(0.3)
 
