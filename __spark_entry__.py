@@ -664,6 +664,43 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph TAIL value-exact: mentions -> salted surface agg ->
+    MinHash-LSH blocking -> connected components -> per-role canon
+    resolution -> weighted edges, on the same fixture as
+    pipeline_triples, against a sequential Python replica (shingles,
+    seeded hash family, banding, union-find, min-canon resolution) run
+    at SQL-generation time. Entity ids use the oracle-replicable
+    poly-hash (production default stays 63-bit xxhash64; id ORDER feeds
+    the min-id tie-breaks, so exact gating needs a reproducible id)."""
+    from zh_ner_tf_spark.fixtures.pages import pages_schema
+    from zh_ner_tf_spark.functions.hashing import poly_hash
+    from zh_ner_tf_spark.operators.tagger import broadcast_model
+    from zh_ner_tf_spark.operators.triples import triples_from_tagged
+    from zh_ner_tf_spark.pipeline import graph_from_mentions, pages_to_tagged
+
+    rows, word2id, weights = _pipeline_fixture()
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in rows],
+        schema=pages_schema(),
+    )
+    wb, vb = broadcast_model(spark, weights, word2id)
+    tagged = pages_to_tagged(pages, wb, vb, "zh").localCheckpoint()
+    mentions = tagged.select("url", "sent_id", F.inline("mentions"))
+    triples = triples_from_tagged(tagged, ["url", "sent_id"])
+    _, edges = graph_from_mentions(
+        mentions, triples,
+        id_expr=lambda m, e: poly_hash(F.concat(e, F.lit("\x1f"), m)),
+    )
+    return edges.select(
+        F.col("src").cast("bigint"),
+        F.col("dst").cast("bigint"),
+        "pred",
+        F.col("weight").cast("bigint"),
+    )
+
+
 def q_extract_text_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical html->text flagship gate through the driver:
     the vectorized regex-pipeline UDF (operators/extract_text.py) runs
@@ -1131,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_triples": q_pipeline_triples,
+        "pipeline_edges": q_pipeline_edges,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
@@ -1366,6 +1404,145 @@ def _pipeline_triples_sql() -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(vals)
         + ") AS t(url, sent_id, subj, pred, obj)"
+    )
+
+
+def _pipeline_edges_sql() -> str:
+    """Constant truth table for the graph tail: a sequential Python
+    replica of blocking (char-bigram shingles, seeded MinHash family,
+    8x2 packed bands, exact-Jaccard filter), union-find components
+    (min-id labels), per-role min-canon resolution, and edge weighting —
+    over the identical fixture and the poly-hash entity ids the Spark
+    query injects."""
+    import re
+    from collections import defaultdict
+
+    from zh_ner_tf_spark.config import (
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_NUM_HASHES,
+        MINHASH_SHINGLE_K,
+        SENTENCE_SPLIT_REGEX,
+        TRIPLE_MAX_GAP,
+        TRIPLE_PATTERNS,
+    )
+    from zh_ner_tf_spark.fixtures.pages import oracle_extract_text
+    from zh_ner_tf_spark.oracle import get_entities, tag_sentence
+
+    rows, word2id, weights = _pipeline_fixture()
+    P = MINHASH_PRIME
+
+    def pfold(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    def eid(mention: str, etype: str) -> int:
+        return pfold(f"{etype}\x1f{mention}")
+
+    def shingle_set(s: str, k: int = MINHASH_SHINGLE_K) -> set[int]:
+        m = max(len(s) - k + 1, 1)
+        return {pfold(s[i: i + k]) for i in range(m)}
+
+    # sequential reference pipeline -> entities and triples
+    compiled = [(pred, re.compile(rx)) for pred, rx in TRIPLE_PATTERNS]
+    ents: dict[tuple[str, str], int] = {}
+    triple_set: set[tuple[str, int, str, str, str]] = set()
+    for row in rows:
+        if row["lang"] != "zh":
+            continue
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        sents = [s.strip() for s in re.split(SENTENCE_SPLIT_REGEX, text)]
+        sents = [s for s in sents if s]
+        for sent_id, sent in enumerate(sents):
+            chars = list(sent)
+            tags = tag_sentence(chars, word2id, weights)
+            spans = get_entities(tags, chars)
+            for m, t, _, _ in spans:
+                ents.setdefault((m, t), eid(m, t))
+            subs = [s for s in spans if s[1] == "PER"]
+            objs = [s for s in spans if s[1] in ("ORG", "LOC")]
+            for sm, _, _, se in subs:
+                for om, _, ob, _ in objs:
+                    if ob <= se or (ob - se - 1) > TRIPLE_MAX_GAP:
+                        continue
+                    gap = sent[se + 1: ob]
+                    for pred, rx in compiled:
+                        if rx.search(gap):
+                            triple_set.add((row["url"], sent_id, sm, pred, om))
+                            break
+
+    # blocking over distinct surfaces (collapse to min-eid rep)
+    by_surface: dict[str, list[int]] = defaultdict(list)
+    for (m, _), i in ents.items():
+        by_surface[m].append(i)
+    rep = {m: min(ids) for m, ids in by_surface.items()}
+    sh = {m: shingle_set(m) for m in rep}
+    fam = hash_family(MINHASH_NUM_HASHES, SEED)
+    sig = {
+        m: [min((a * h + b) % P for h in sh[m]) for a, b in fam]
+        for m in rep
+    }
+    rpb = MINHASH_NUM_HASHES // MINHASH_BANDS
+    assert rpb == 2
+    buckets: dict[tuple[int, int], list[str]] = defaultdict(list)
+    for m in rep:
+        s = sig[m]
+        for b in range(MINHASH_BANDS):
+            buckets[(b, s[2 * b] * P + s[2 * b + 1])].append(m)
+    pair_surfaces: set[tuple[str, str]] = set()
+    for ms in buckets.values():
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = sorted((ms[i], ms[j]), key=lambda x: rep[x])
+                pair_surfaces.add((a, b))
+    sim_pairs = [
+        (rep[a], rep[b])
+        for a, b in pair_surfaces
+        if round(len(sh[a] & sh[b]) / len(sh[a] | sh[b]), 6) >= JACCARD_THRESHOLD
+    ]
+
+    # union-find -> component = min id
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sim_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {x: find(x) for x in parent}
+
+    canon = {(m, t): comp.get(i, i) for (m, t), i in ents.items()}
+    subj_map: dict[str, int] = {}
+    obj_map: dict[str, int] = {}
+    for (m, t), _ in ents.items():
+        c = canon[(m, t)]
+        if t in ("PER",):
+            subj_map[m] = min(subj_map.get(m, c), c)
+        if t in ("ORG", "LOC"):
+            obj_map[m] = min(obj_map.get(m, c), c)
+
+    weights_ctr: dict[tuple[int, int, str], int] = defaultdict(int)
+    for _, _, sm, pred, om in triple_set:
+        if sm in subj_map and om in obj_map:
+            weights_ctr[(subj_map[sm], obj_map[om], pred)] += 1
+
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    vals = [
+        f"({src}::BIGINT, {dst}::BIGINT, '{esc(pred)}', {w}::BIGINT)"
+        for (src, dst, pred), w in weights_ctr.items()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(src, dst, pred, weight)"
     )
 
 
@@ -1806,6 +1983,8 @@ FROM ranked WHERE rank <= 10
     fam_sqls["extract_text_bytes"] = _extract_text_sql()
 
     fam_sqls["pipeline_triples"] = _pipeline_triples_sql()
+
+    fam_sqls["pipeline_edges"] = _pipeline_edges_sql()
 
     fam_sqls["embedding_near_dup"] = _embedding_near_dup_sql(0.3)
 

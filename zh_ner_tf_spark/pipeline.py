@@ -116,6 +116,7 @@ def graph_from_mentions(
     triples: DataFrame,
     subj_types: tuple[str, ...] = ("PER",),
     obj_types: tuple[str, ...] = ("ORG", "LOC"),
+    id_expr=None,
 ) -> tuple[DataFrame, DataFrame]:
     """mentions + triples -> (nodes, edges).
 
@@ -129,12 +130,19 @@ def graph_from_mentions(
     # aggregation — provably equal to the direct groupBy (tested).
     from zh_ner_tf_spark.operators.skew import salted_agg
 
+    # entity ids: 63-bit xxhash64 by default (collision-safe at 10^9+
+    # surfaces); ``id_expr(mention_col, etype_col) -> Column`` overrides
+    # it — the driver's oracle gate injects a poly-hash id it can
+    # replicate sequentially (id ORDER feeds min-id tie-breaks below, so
+    # an exact external oracle needs a reproducible id function)
+    if id_expr is None:
+        id_expr = lambda m, e: F.abs(F.xxhash64(m, e)).cast("bigint")  # noqa: E731
     surfaces = salted_agg(
         mentions.select("mention", "etype"),
         ["mention", "etype"],
         {"freq": ("count", "")},
     ).withColumn(
-        "entity_id", F.abs(F.xxhash64("mention", "etype")).cast("bigint")
+        "entity_id", id_expr(F.col("mention"), F.col("etype"))
     )
     sim_edges = block_entities(
         surfaces.select("entity_id", F.col("mention").alias("surface"))
