@@ -504,3 +504,77 @@ def test_similarity_operators_on_empty_corpus(spark):
         ], name
     assert lsh_candidates(emptye).count() == 0
     assert embedding_near_dups(emptye).count() == 0
+
+
+# ------------------------------------------------- SRP salting + scaling
+def test_srp_params_scale_with_corpus_size():
+    """The adaptive band family: fixture scale reproduces the frozen
+    oracle family (16, 4); band width grows with the corpus so bucket
+    occupancy stays bounded; capped at 60 bits (bigint bitmask)."""
+    from zh_ner_tf_spark.operators.similarity import srp_params
+
+    assert srp_params(500) == (16, 4)   # sf0.01 embeddings -> oracle family
+    assert srp_params(0) == (16, 4)
+    assert srp_params(2000) == (24, 4)
+    assert srp_params(10 ** 9) == (60, 4)
+    last_bits = 0
+    for n in (10, 500, 2000, 10 ** 4, 10 ** 6, 10 ** 9, 10 ** 12):
+        bits, bands = srp_params(n)
+        assert bits % bands == 0
+        assert bits >= last_bits
+        last_bits = bits
+
+
+def test_lsh_candidates_salted_equals_unsalted_on_hot_bucket(spark):
+    """Pair-set equality of the census-salted SRP band join vs the plain
+    self-join on a corpus with a REAL hot bucket: 100 identical vectors
+    collide in every band (the dense-cluster failure mode the salting
+    spreads), 400 random background vectors fill the key space so the
+    census threshold (16x mean) actually fires."""
+    from zh_ner_tf_spark.operators.similarity import _hyperplanes, _srp_bands
+
+    rng = np.random.RandomState(7)
+    hot_vec = rng.normal(size=16).astype(np.float32).tolist()
+    rows = [(i, hot_vec) for i in range(100)] + [
+        (i, rng.normal(size=16).astype(np.float32).tolist())
+        for i in range(100, 500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    n_bits, n_bands = 60, 4  # 15-bit bands: background spreads, cluster is hot
+
+    planes = _hyperplanes(16, n_bits)
+    bands = _srp_bands(df, "vec_id", "embedding", planes, n_bits, n_bands, "eid")
+    # precondition: the cluster's band keys really are census-hot
+    assert hot_key_census(
+        bands.select("band_id", "band_value"), ["band_id", "band_value"]
+    ).count() >= 1
+
+    salted = {
+        (r["src"], r["dst"])
+        for r in lsh_candidates(df, n_bits=n_bits, n_bands=n_bands).collect()
+    }
+    left = bands.select("band_id", "band_value", F.col("eid").alias("src"))
+    right = bands.select("band_id", "band_value", F.col("eid").alias("dst"))
+    plain = {
+        (r["src"], r["dst"])
+        for r in left.join(right, ["band_id", "band_value"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    }
+    assert salted == plain
+    assert len(salted) >= 100 * 99 // 2  # the cluster is all-pairs
+
+
+def test_lsh_candidates_adaptive_default_matches_explicit_fixture(spark):
+    """At the 500-row embeddings fixture the adaptive default resolves to
+    the explicit (16, 4) family — byte-for-byte the same pair set (this is
+    what keeps the driver gate's inlined-hyperplane oracle exact)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = {(r["src"], r["dst"]) for r in lsh_candidates(df).collect()}
+    e = {
+        (r["src"], r["dst"])
+        for r in lsh_candidates(df, n_bits=16, n_bands=4).collect()
+    }
+    assert d == e and len(d) > 0

@@ -365,16 +365,17 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     pairs: DataFrame | None = None,
-    n_bits: int = 16,
-    n_bands: int = 4,
+    n_bits: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With ``pairs`` given, verifies
     only those; otherwise falls back to the LSH-bucketed candidate
     generator in operators/similarity.py (never full O(n^2)).
-    n_bits/n_bands tune the candidate density: at crawl scale with a
-    high threshold, wider bands (e.g. 32 bits / 4 bands = 8-bit bands,
-    256 buckets per band) cut false candidates ~16x while keeping
-    near-dup recall high."""
+    n_bits/n_bands default to srp_params(corpus size) — bucket occupancy
+    stays ~constant as the corpus grows (wider bands cut false
+    candidates exponentially while a high threshold keeps near-dup
+    recall), and the band self-join is census-salted against residual
+    hot buckets (see lsh_candidates)."""
     from zh_ner_tf_spark.operators.similarity import cosine_expr, lsh_candidates
 
     if pairs is None:

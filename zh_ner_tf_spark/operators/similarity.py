@@ -82,6 +82,38 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = SEED) -> list[list[float]]:
     return rng.normal(size=(n_bits, dim)).round(6).tolist()
 
 
+def srp_params(
+    n_rows: int,
+    n_bands: int = 4,
+    target_bucket_rows: int = 32,
+    min_bits_per_band: int = 4,
+    max_bits_per_band: int = 15,
+) -> tuple[int, int]:
+    """(n_bits, n_bands) scaled with corpus size — the default whenever a
+    caller does not pin the band family explicitly.
+
+    Bits per band = ceil(log2(n_rows / target_bucket_rows)), clamped to
+    [min, max], so expected bucket occupancy stays ~target_bucket_rows
+    regardless of corpus size: a fixed 4-bit band (16 buckets) that is
+    fine at fixture scale would put ~n/16 of a 10^9-row corpus in every
+    bucket and the band self-join would do quadratic work per bucket.
+    With the cap at 15 bits/band and 4 bands the signature tops out at 60
+    bits (fits the bigint bitmask); at that width residual mega-buckets
+    are exact-duplicate-grade clusters, which the salted join spreads.
+
+    Deterministic given n_rows: 500 rows (the sf0.01 embeddings fixture)
+    -> (16, 4), matching the inlined-hyperplane DuckDB oracle replicas;
+    2000 rows (sf0.1) -> (24, 4); 10^9 -> (60, 4).
+    """
+    import math
+
+    if n_rows <= 0:
+        return min_bits_per_band * n_bands, n_bands
+    bpb = math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))
+    bpb = min(max(bpb, min_bits_per_band), max_bits_per_band)
+    return bpb * n_bands, n_bands
+
+
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection signature as a bigint bitmask."""
     out = F.lit(0).cast("bigint")
@@ -94,16 +126,81 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _resolve_srp_family(
+    emb: DataFrame,
+    n_bits: int | None,
+    n_bands: int | None,
+    n_rows: int | None,
+) -> tuple[int, int]:
+    """Resolve (n_bits, n_bands): explicit values win; otherwise derive
+    from the corpus row count via srp_params (one count() over the key
+    projection — metadata-cheap on parquet; pass ``n_rows`` to skip)."""
+    if n_bits is not None and n_bands is not None:
+        return n_bits, n_bands
+    if n_rows is None:
+        n_rows = emb.count()
+    return srp_params(n_rows, n_bands or 4)
+
+
+def _srp_bands(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    n_bits: int,
+    n_bands: int,
+    out_key: str,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(out_key[, _v_<out_key>], band_id, band_value) rows: SRP signature
+    split into ``n_bands`` equal-width bands — the shared banding shape
+    consumed by banded_pairs_salted and the ann bucket join."""
+    bits_per_band = n_bits // n_bands
+    mask = (1 << bits_per_band) - 1
+    cols = [F.col(key_col).alias(out_key)]
+    if carry_vec:
+        cols.append(F.col(vec_col).alias(f"_v_{out_key}"))
+    sig = df.select(
+        *cols, srp_signature(F.col(vec_col), planes).alias("sig")
+    )
+    keep = [out_key] + ([f"_v_{out_key}"] if carry_vec else [])
+    return sig.select(
+        *keep,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).cast("bigint").alias("band_id"),
+                    (F.shiftright("sig", b * bits_per_band)
+                     % F.lit(mask + 1)).alias("band_value"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select(*keep, "bv.band_id", "bv.band_value")
+
+
 def lsh_candidates(
     emb: DataFrame,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 16,
-    n_bands: int = 4,
+    n_bits: int | None = None,
+    n_bands: int | None = None,
     dim: int | None = None,
     seed: int = SEED,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Candidate (src, dst) pairs sharing at least one signature band."""
+    """Candidate (src, dst) pairs sharing at least one signature band.
+
+    Scale shape: band width defaults to srp_params(corpus size) so bucket
+    occupancy stays bounded as the corpus grows, and the band self-join
+    runs through banded_pairs_salted (operators/blocking.py) — the same
+    census-gated hot-key salting the MinHash path uses — so residual hot
+    buckets (dense embedding clusters) spread their quadratic pair work
+    over salt_buckets tasks instead of one reducer. Salting is pair-set
+    preserving (tested), so explicit fixture-scale params stay oracle-
+    exact."""
+    from zh_ner_tf_spark.operators.blocking import banded_pairs_salted
+
     if dim is None:
         first = emb.select(F.size(vec_col).alias("d")).first()
         if first is None:  # empty corpus: no pairs
@@ -111,30 +208,11 @@ def lsh_candidates(
                 F.col(key_col).alias("src"), F.col(key_col).alias("dst")
             ).limit(0)
         dim = int(first["d"])
+    n_bits, n_bands = _resolve_srp_family(emb, n_bits, n_bands, n_rows)
     planes = _hyperplanes(dim, n_bits, seed)
-    sig = emb.select(
-        F.col(key_col).alias("eid"),
-        srp_signature(F.col(vec_col), planes).alias("sig"),
-    )
-    bits_per_band = n_bits // n_bands
-    mask = (1 << bits_per_band) - 1
-    bands = sig.select(
-        "eid",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    (F.shiftright("sig", b * bits_per_band) % F.lit(mask + 1)).alias("band_value"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bv"),
-    ).select("eid", "bv.band_id", "bv.band_value")
-    left = bands.select("band_id", "band_value", F.col("eid").alias("src"))
-    right = bands.select("band_id", "band_value", F.col("eid").alias("dst"))
+    bands = _srp_bands(emb, key_col, vec_col, planes, n_bits, n_bands, "eid")
     return (
-        left.join(right, ["band_id", "band_value"])
-        .filter(F.col("src") < F.col("dst"))
+        banded_pairs_salted(bands, "eid")
         .select("src", "dst")
         .distinct()
     )
@@ -244,42 +322,34 @@ def ann_topk(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     query_key: str = "query_id",
-    n_bits: int = 16,
-    n_bands: int = 4,
+    n_bits: int | None = None,
+    n_bands: int | None = None,
     seed: int = SEED,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: score only bucket-mates."""
+    """LSH-bucketed approximate top-k: score only bucket-mates.
+
+    Band width defaults to srp_params(corpus size) — with a fixed 4-bit
+    band each bucket holds ~n/16 of the corpus, so every query would
+    rescore a constant fraction of 10^9 vectors. The query side is
+    BROADCAST, so the bucket join itself never shuffles and needs no
+    reducer-side salting (each corpus partition streams against the tiny
+    query-band map); the scale knob here is candidate density, which the
+    adaptive band width bounds at ~target_bucket_rows per band per
+    query."""
     first = corpus.select(F.size(vec_col).alias("d")).first()
     if first is None:
         # empty corpus: identical (empty) output via the exact path
         return brute_force_topk(corpus, queries, k, key_col, vec_col,
                                 query_key)
+    n_bits, n_bands = _resolve_srp_family(corpus, n_bits, n_bands, n_rows)
     planes = _hyperplanes(int(first["d"]), n_bits, seed)
-    bits_per_band = n_bits // n_bands
-    mask = (1 << bits_per_band) - 1
-
-    def banded(df: DataFrame, kc: str, vc: str, out_key: str) -> DataFrame:
-        sig = df.select(
-            F.col(kc).alias(out_key),
-            F.col(vc).alias(f"_v_{out_key}"),
-            srp_signature(F.col(vc), planes).alias("sig"),
-        )
-        return sig.select(
-            out_key,
-            f"_v_{out_key}",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        (F.shiftright("sig", b * bits_per_band) % F.lit(mask + 1)).alias("band_value"),
-                    )
-                    for b in range(n_bands)
-                ])
-            ).alias("bv"),
-        ).select(out_key, f"_v_{out_key}", "bv.band_id", "bv.band_value")
-
-    qb = F.broadcast(banded(queries, query_key, vec_col, "qid"))
-    cb = banded(corpus, key_col, vec_col, "cid")
+    qb = F.broadcast(
+        _srp_bands(queries, query_key, vec_col, planes, n_bits, n_bands,
+                   "qid", carry_vec=True)
+    )
+    cb = _srp_bands(corpus, key_col, vec_col, planes, n_bits, n_bands,
+                    "cid", carry_vec=True)
     pairs = qb.join(cb, ["band_id", "band_value"]).dropDuplicates(["qid", "cid"])
     scored = pairs.select(
         F.col("qid").alias(query_key),

@@ -91,9 +91,13 @@ def _scan(
                 if not final:
                     # a boundary (or a partial adjacent header) might
                     # straddle the member edge; the carried tail keeps
-                    # the CURRENT adjacency trust, not a fresh True
+                    # the CURRENT adjacency trust ONLY if it starts
+                    # exactly where the last valid record ended — a tail
+                    # that begins inside junk after the record could
+                    # smuggle a body-embedded "WARC/" past the strict
+                    # boundary rule via the next scan's adjacency path
                     keep_from = max(pos, n - (len(_BOUNDARY) - 1))
-                    carry_adjacent = adjacent_ok
+                    carry_adjacent = adjacent_ok and keep_from == pos
                 break
             head_start = b + 4
         head_end = buf.find(b"\r\n\r\n", head_start)
