@@ -578,3 +578,32 @@ def test_lsh_candidates_adaptive_default_matches_explicit_fixture(spark):
         for r in lsh_candidates(df, n_bits=16, n_bands=4).collect()
     }
     assert d == e and len(d) > 0
+
+
+def test_gram_hashes_batch_matches_per_doc_spec():
+    """_gram_hashes_batch (one segmented pass per Arrow batch) must be
+    value-equal to the frozen per-document spec _gram_hashes_np on
+    adversarial inputs: NULLs, empties, all-space, docs shorter than n,
+    multi-space runs, CJK, and long mixed docs — for both the distinct
+    and the positional (winnowing) modes."""
+    from zh_ner_tf_spark.operators.dedup import (
+        _gram_hashes_batch,
+        _gram_hashes_np,
+    )
+
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "北京", "大学", "x", "委员会", "12", "β"]
+    texts = [
+        None, "", " ", "   ", "a", "a b", "a  b", " a b ",
+        "一 二 三 四 五", "solo",
+        " ".join(rng.choice(words, size=200).tolist()),
+        "  ".join(rng.choice(words, size=50).tolist()) + "  ",
+    ]
+    for n in (2, 3, 5):
+        for distinct in (True, False):
+            got = _gram_hashes_batch(texts, n, distinct)
+            want = [_gram_hashes_np(t, n, distinct=distinct) for t in texts]
+            assert got == want, (n, distinct)
+    assert _gram_hashes_batch([None, None], 3) == [None, None]
+    assert _gram_hashes_batch([], 3) == []
+    assert _gram_hashes_batch(["", None, " "], 2) == [[0], None, [0]]

@@ -133,19 +133,110 @@ def _gram_hashes_np(text: str | None, n: int, distinct: bool = True):
     return np.unique(gh).tolist() if distinct else gh.tolist()
 
 
+def _gram_hashes_batch(texts, n: int, distinct: bool = True) -> list:
+    """Batch form of _gram_hashes_np: ONE segmented NumPy pass over the
+    whole Arrow batch instead of a per-document Python call. All non-null
+    texts are joined with a single space (the frozen token delimiter, so
+    tokens — and therefore grams — can never span documents), encoded
+    once, and token/gram hashing, cross-document-gram masking, the
+    short-doc whole-doc fold, and the per-doc distinct all run as global
+    array ops; the only per-document step left is the final .tolist()
+    split. Value-equal to [_gram_hashes_np(t, n, distinct) for t in
+    texts] (tested exhaustively against the spec function)."""
+    import numpy as np
+
+    P = MINHASH_PRIME
+    texts = list(texts)
+    out: list = [None] * len(texts)
+    live = [i for i, t in enumerate(texts) if t is not None]
+    if not live:
+        return out
+    docs = [texts[i] for i in live]
+    lens = np.fromiter((len(t) for t in docs), dtype=np.int64, count=len(docs))
+    combined = " ".join(docs)
+    codes = np.frombuffer(
+        combined.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    # doc d occupies [doc_starts[d], doc_starts[d] + lens[d]) in `codes`
+    doc_starts = np.concatenate(([0], np.cumsum(lens[:-1] + 1)))
+    D = len(docs)
+    nonsp = codes != 32  # separator spaces also end the previous doc's token
+    if not nonsp.any():
+        for i in live:
+            out[i] = [0]
+        return out
+    bounded = np.concatenate(([False], nonsp, [False]))
+    flips = np.flatnonzero(bounded[1:] != bounded[:-1])
+    starts, ends = flips[::2], flips[1::2]
+    tlens = ends - starts
+    tok_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+    pow31 = np.ones(int(tlens.max()), dtype=np.int64)
+    for k in range(1, len(pow31)):
+        pow31[k] = pow31[k - 1] * 31 % P
+    idx = np.flatnonzero(nonsp)
+    exp = np.repeat(ends - 1, tlens) - idx
+    terms = codes[idx] * pow31[exp] % P
+    th = np.add.reduceat(
+        terms, np.cumsum(np.concatenate(([0], tlens[:-1])))
+    ) % P
+    tc = np.bincount(tok_doc, minlength=D)  # tokens per doc (0 for empty)
+    M = len(th)
+
+    # full grams: global rolling fold, then mask grams that cross a doc
+    # boundary (gram at global token j is valid iff tokens j..j+n-1 are
+    # all in tok_doc[j]'s doc)
+    per_doc_lists: list[list[int] | None] = [None] * D
+    if M >= n:
+        gh = th[: M - n + 1].copy()
+        for k in range(1, n):
+            gh = (gh * 31 + th[k: M - n + 1 + k]) % P
+        valid = tok_doc[: M - n + 1] == tok_doc[n - 1:]
+        g_doc = tok_doc[: M - n + 1][valid]
+        g_val = gh[valid]
+        if distinct:
+            order = np.lexsort((g_val, g_doc))
+            g_doc, g_val = g_doc[order], g_val[order]
+            keep = np.ones(len(g_val), dtype=bool)
+            keep[1:] = (g_doc[1:] != g_doc[:-1]) | (g_val[1:] != g_val[:-1])
+            g_doc, g_val = g_doc[keep], g_val[keep]
+        counts = np.bincount(g_doc, minlength=D)
+        splits = np.split(g_val, np.cumsum(counts)[:-1])
+    else:
+        counts = np.zeros(D, dtype=np.int64)
+        splits = [np.empty(0, dtype=np.int64)] * D
+
+    # short docs (tc < n, incl. 0 tokens): one whole-doc fold over their
+    # token hashes, vectorized across docs with <= n-1 fold steps
+    short = np.flatnonzero(tc < n)
+    if len(short):
+        tok_start = np.concatenate(([0], np.cumsum(tc[:-1])))
+        h = np.zeros(len(short), dtype=np.int64)
+        stc = tc[short]
+        for k in range(int(stc.max()) if len(stc) else 0):
+            has = stc > k
+            pos = tok_start[short[has]] + k
+            h[has] = (h[has] * 31 + th[pos]) % P
+        for j, d in enumerate(short):
+            per_doc_lists[d] = [int(h[j])]
+    for d in range(D):
+        if per_doc_lists[d] is None:
+            per_doc_lists[d] = splits[d].tolist()
+    for j, i in enumerate(live):
+        out[i] = per_doc_lists[j]
+    return out
+
+
 def gram_hashes_udf(n: int, distinct: bool = True):
     """Arrow-vectorized pandas UDF: text -> array<bigint> of word-n-gram
-    hashes (spec: _gram_hashes_np) — distinct set by default, positional
+    hashes (spec: _gram_hashes_np; execution: _gram_hashes_batch, one
+    segmented pass per Arrow batch) — distinct set by default, positional
     order with ``distinct=False`` (the winnowing input)."""
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
     def _grams(texts):
-        return pd.Series(
-            [_gram_hashes_np(t, n, distinct=distinct) for t in texts],
-            dtype=object,
-        )
+        return pd.Series(_gram_hashes_batch(texts, n, distinct), dtype=object)
 
     return _grams
 
