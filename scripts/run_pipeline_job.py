@@ -31,7 +31,7 @@ def main() -> None:
         pages_schema,
     )
     from zh_ner_tf_spark.oracle import normalize_token
-    from zh_ner_tf_spark.pipeline import run_pipeline
+    from zh_ner_tf_spark.pipeline import materialize_graph, run_pipeline
 
     rows = gen_pages(n_pages, seed=42)
     word2id = {"<PAD>": 0}
@@ -49,10 +49,12 @@ def main() -> None:
     )
     out = run_pipeline(spark, pages, weights, word2id, lang="zh")
     out["triples"].write.mode("overwrite").parquet(f"{out_dir}/triples")
-    out["nodes"].write.mode("overwrite").parquet(f"{out_dir}/nodes")
-    out["edges"].write.mode("overwrite").parquet(f"{out_dir}/edges")
+    # nodes/edges go through the unified snapshot+lineage sink: killed
+    # runs resume per bucket, readers only ever see committed snapshots
+    sids = materialize_graph(spark, out, out_dir, stage="job")
     n = spark.read.parquet(f"{out_dir}/triples").count()
     print(f"TRIPLES_WRITTEN={n}")
+    print(f"GRAPH_SNAPSHOTS={sids}")
     spark.stop()
 
 

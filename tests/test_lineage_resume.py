@@ -273,3 +273,112 @@ def test_snapshot_diff_incremental_reads(spark, tmp_path):
     # post-compaction appends diff cleanly from the compacted base
     snapshot_append(spark.range(100, 102), path)  # snap 5
     assert {r["id"] for r in snapshot_diff(spark, path, 4).collect()} == {100, 101}
+
+
+def test_snapshot_lineage_compose_kill_resume_time_travel(spark, tmp_path):
+    """The unified sink (snapshot_stage_with_lineage): a graph write
+    killed mid-stage leaves the table readable at its previous snapshot;
+    the resumed run recomputes ONLY the uncommitted buckets and then
+    publishes atomically; the final table equals an uninterrupted run;
+    the old snapshot stays time-travel-readable."""
+    import os
+
+    from zh_ner_tf_spark.plans.lineage import (
+        bucket_col,
+        read_manifest,
+        run_stage_with_lineage,
+    )
+    from zh_ner_tf_spark.sources.sinks import (
+        committed_snapshots,
+        read_snapshot,
+        snapshot_append,
+        snapshot_stage_with_lineage,
+    )
+
+    path = str(tmp_path / "nodes_tbl")
+    nb = 8
+    old = spark.range(1000, 1010).select(
+        F.col("id").alias("canon_id"), F.lit("old").alias("surface"),
+        F.lit("PER").alias("etype"), F.lit(1).alias("freq"),
+    )
+    assert snapshot_append(old, path) == 1  # previous crawl increment
+
+    nodes = spark.range(0, 200).select(
+        F.col("id").alias("canon_id"),
+        F.concat(F.lit("s"), F.col("id")).alias("surface"),
+        F.lit("ORG").alias("etype"), (F.col("id") % 7).alias("freq"),
+    )
+
+    # --- kill mid-graph-write: only half the buckets get committed (the
+    # exact on-disk state a killed writer leaves), no snapshot publishes
+    half = nodes.filter(bucket_col("canon_id", nb) < nb // 2)
+    data_dir = os.path.join(path, "data", "stage-inc2")
+    man_dir = os.path.join(path, "lineage", "inc2")
+    run_stage_with_lineage(
+        half, lambda p: p, spark, "inc2", "canon_id", data_dir, man_dir, nb
+    )
+    assert committed_snapshots(path) == [1]          # table untouched
+    assert read_snapshot(spark, path).count() == 10  # old snapshot serves
+
+    # --- resume: the SAME call a fresh run makes; must recompute only
+    # the pending buckets, then publish snapshot 2
+    sid, _ = snapshot_stage_with_lineage(
+        nodes, spark, path, "inc2", "canon_id", nb
+    )
+    assert sid == 2 and committed_snapshots(path) == [1, 2]
+    m = read_manifest(spark, man_dir)
+    assert m.count() == nb                            # one commit per bucket
+    runs = {r["run_id"] for r in m.select("run_id").distinct().collect()}
+    assert len(runs) == 2                             # kill run + resume run
+    resumed_buckets = {
+        r["bucket"]
+        for r in m.filter(~F.col("run_id").isin(*[
+            x["run_id"] for x in m.filter(F.col("bucket") < nb // 2)
+            .select("run_id").collect()
+        ])).select("bucket").collect()
+    }
+    assert resumed_buckets == set(range(nb // 2, nb))  # only pending redone
+
+    # --- final table identical to an uninterrupted run
+    clean_path = str(tmp_path / "clean_tbl")
+    snapshot_append(old, clean_path)
+    snapshot_stage_with_lineage(nodes, spark, clean_path, "inc2", "canon_id", nb)
+    key = lambda r: (r["canon_id"], r["surface"], r["etype"], r["freq"])  # noqa: E731
+    got = sorted(key(r) for r in read_snapshot(spark, path).collect())
+    want = sorted(key(r) for r in read_snapshot(spark, clean_path).collect())
+    assert got == want and len(got) == 210
+
+    # --- time travel: the pre-kill snapshot still reads exactly old rows
+    assert {r["surface"] for r in read_snapshot(spark, path, 1).collect()} == {"old"}
+
+    # --- idempotence: re-running the completed stage changes nothing
+    sid2, _ = snapshot_stage_with_lineage(nodes, spark, path, "inc2", "canon_id", nb)
+    assert sid2 == 2 and committed_snapshots(path) == [1, 2]
+    assert read_manifest(spark, man_dir).count() == nb
+
+
+def test_materialize_graph_snapshots_nodes_and_edges(spark, tmp_path):
+    """materialize_graph publishes both graph tables through the unified
+    sink: one committed snapshot each, rows round-trip, and the lineage
+    manifests carry one commit per non-empty bucket."""
+    from zh_ner_tf_spark.pipeline import materialize_graph
+    from zh_ner_tf_spark.sources.sinks import read_snapshot
+
+    outputs = {
+        "nodes": spark.range(0, 50).select(
+            F.col("id").alias("canon_id"),
+            F.concat(F.lit("n"), F.col("id")).alias("surface"),
+            F.lit("PER").alias("etype"), F.lit(2).alias("freq"),
+        ),
+        "edges": spark.range(0, 30).select(
+            (F.col("id") % 10).alias("src"), (F.col("id") % 3).alias("dst"),
+            F.lit("works_for").alias("pred"), F.lit(1).alias("weight"),
+        ),
+    }
+    root = str(tmp_path / "graph")
+    sids = materialize_graph(spark, outputs, root, stage="t", n_buckets=4)
+    assert sids == {"nodes": 1, "edges": 1}
+    nodes = read_snapshot(spark, f"{root}/nodes")
+    edges = read_snapshot(spark, f"{root}/edges")
+    assert nodes.count() == 50 and edges.count() == 30
+    assert {r["surface"] for r in nodes.collect()} == {f"n{i}" for i in range(50)}

@@ -213,3 +213,33 @@ def run_pipeline(
         "nodes": nodes,
         "edges": edges,
     }
+
+
+def materialize_graph(
+    spark: SparkSession,
+    outputs: dict[str, DataFrame],
+    root: str,
+    stage: str = "graph",
+    n_buckets: int = 32,
+) -> dict[str, int]:
+    """Publish the pipeline's nodes/edges through the unified
+    snapshot+lineage sink (sources/sinks.snapshot_stage_with_lineage):
+    per-bucket commits give exact resume after a mid-write kill, the CAS
+    snapshot commit gives atomic visibility + time travel, and both
+    compose — a killed graph write leaves the tables at their previous
+    snapshot, a re-run recomputes only uncommitted buckets and then
+    publishes. ``stage`` names the crawl increment. Returns the
+    committed snapshot id per table."""
+    import os
+
+    from zh_ner_tf_spark.sources.sinks import snapshot_stage_with_lineage
+
+    nodes_sid, _ = snapshot_stage_with_lineage(
+        outputs["nodes"], spark, os.path.join(root, "nodes"), stage,
+        "canon_id", n_buckets,
+    )
+    edges_sid, _ = snapshot_stage_with_lineage(
+        outputs["edges"], spark, os.path.join(root, "edges"), stage,
+        "src", n_buckets,
+    )
+    return {"nodes": nodes_sid, "edges": edges_sid}

@@ -151,6 +151,74 @@ def snapshot_append(df: DataFrame, path: str) -> int:
     )
 
 
+def snapshot_commit_dir(path: str, data_dir: str) -> int:
+    """CAS-publish an ALREADY-WRITTEN data directory as the next snapshot
+    (append semantics: the head's directory list + ``data_dir``).
+    Idempotent: if the head already references ``data_dir`` the head's id
+    is returned unchanged, so re-publishing after a crash between the
+    data write and the manifest commit is safe. This is the primitive
+    that lets the per-bucket lineage writer (plans/lineage.py) and the
+    snapshot log compose — data materializes incrementally under lineage
+    commits, visibility flips atomically here."""
+    for _ in range(_COMMIT_RETRIES):
+        snaps = committed_snapshots(path)
+        if snaps:
+            with open(os.path.join(_snap_dir(path), f"{snaps[-1]}.json")) as f:
+                prev = json.load(f)["data_dirs"]
+        else:
+            prev = []
+        if data_dir in prev:
+            return snaps[-1]
+        new_id = (snaps[-1] + 1) if snaps else 1
+        manifest = {
+            "snapshot_id": new_id,
+            "parent_id": snaps[-1] if snaps else None,
+            "data_dirs": prev + [data_dir],
+        }
+        if _commit_manifest(path, new_id, manifest):
+            return new_id
+    raise RuntimeError(
+        f"snapshot_commit_dir lost {_COMMIT_RETRIES} commit races on {path}"
+    )
+
+
+def snapshot_stage_with_lineage(
+    df: DataFrame,
+    spark: SparkSession,
+    table_path: str,
+    stage: str,
+    key_col: str,
+    n_buckets: int = 32,
+    transform=None,
+) -> tuple[int, DataFrame]:
+    """Unified exact-resume + time-travel write: the ONE sink the
+    pipeline's node/edge tables go through.
+
+    The stage's rows land bucket-partitioned under
+    ``<table>/data/stage-<stage>`` with per-bucket lineage commits
+    (plans/lineage.py): a writer killed mid-stage re-runs ONLY its
+    uncommitted buckets on the next call. Table readers never see the
+    partial stage — visibility comes from the CAS snapshot commit
+    (snapshot_commit_dir), which publishes the directory as one snapshot
+    only after every bucket is committed; until then the table stays at
+    its previous snapshot, which remains time-travel-readable forever.
+
+    ``stage`` names one increment (e.g. one crawl batch): calling again
+    with the same stage RESUMES it (idempotent once complete); a new
+    increment needs a new stage name, appending a new snapshot.
+    Returns (snapshot_id, full stage output DataFrame)."""
+    from zh_ner_tf_spark.plans.lineage import run_stage_with_lineage
+
+    data_dir = os.path.join(table_path, "data", f"stage-{stage}")
+    manifest_dir = os.path.join(table_path, "lineage", stage)
+    out = run_stage_with_lineage(
+        df, transform or (lambda pending: pending), spark, stage, key_col,
+        data_dir, manifest_dir, n_buckets,
+    )
+    sid = snapshot_commit_dir(table_path, data_dir)
+    return sid, out
+
+
 def snapshot_compact(
     spark: SparkSession, path: str, target_partitions: int | None = None
 ) -> int:
@@ -191,6 +259,25 @@ def snapshot_compact(
     return new_id
 
 
+def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Read a snapshot's data directories. Directories written by the
+    lineage writer are bucket-partitioned — a ``_bucket`` partition
+    column Spark refuses to merge with unpartitioned sibling dirs in one
+    multi-path read, and which is commit bookkeeping, not table data —
+    so each dir is read separately, the reserved ``_bucket`` column is
+    dropped, and the parts are unioned by name."""
+    parts = []
+    for d in dirs:
+        df = spark.read.parquet(d)
+        if "_bucket" in df.columns:
+            df = df.drop("_bucket")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def snapshot_diff(
     spark: SparkSession, path: str, from_id: int, to_id: int | None = None
 ) -> DataFrame:
@@ -222,7 +309,7 @@ def snapshot_diff(
     new_dirs = [d for d in head if d not in bset]
     if not new_dirs:
         return read_snapshot(spark, path, to_id).limit(0)
-    return spark.read.parquet(*new_dirs)
+    return _read_dirs(spark, new_dirs)
 
 
 def read_snapshot(
@@ -238,4 +325,4 @@ def read_snapshot(
         raise ValueError(f"snapshot {sid} not in {snaps}")
     with open(os.path.join(_snap_dir(path), f"{sid}.json")) as f:
         dirs = json.load(f)["data_dirs"]
-    return spark.read.parquet(*dirs)
+    return _read_dirs(spark, dirs)
