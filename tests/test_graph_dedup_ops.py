@@ -510,19 +510,29 @@ def test_similarity_operators_on_empty_corpus(spark):
 def test_srp_params_scale_with_corpus_size():
     """The adaptive band family: fixture scale reproduces the frozen
     oracle family (16, 4); band width grows with the corpus so bucket
-    occupancy stays bounded; capped at 60 bits (bigint bitmask)."""
+    occupancy stays bounded; band COUNT grows with band width so the
+    analytic recall for cosine>=0.95 pairs stays >= 0.9 at every scale
+    (wider bands cut true candidates too — more bands compensate)."""
+    import math
+
     from zh_ner_tf_spark.operators.similarity import srp_params
 
     assert srp_params(500) == (16, 4)   # sf0.01 embeddings -> oracle family
     assert srp_params(0) == (16, 4)
     assert srp_params(2000) == (24, 4)
-    assert srp_params(10 ** 9) == (60, 4)
-    last_bits = 0
+    p = 1.0 - math.acos(0.95) / math.pi
+    last_bpb = 0
     for n in (10, 500, 2000, 10 ** 4, 10 ** 6, 10 ** 9, 10 ** 12):
         bits, bands = srp_params(n)
         assert bits % bands == 0
-        assert bits >= last_bits
-        last_bits = bits
+        bpb = bits // bands
+        assert bpb >= last_bpb          # bucket count is monotone in n
+        last_bpb = bpb
+        if n >= 32:
+            # occupancy bound: <= 32 expected rows/bucket up to the cap
+            assert bpb >= min(24, math.ceil(math.log2(n / 32)))
+        recall = 1.0 - (1.0 - p ** bpb) ** bands
+        assert recall >= 0.9, (n, bits, bands, recall)
 
 
 def test_lsh_candidates_salted_equals_unsalted_on_hot_bucket(spark):

@@ -84,33 +84,51 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = SEED) -> list[list[float]]:
 
 def srp_params(
     n_rows: int,
-    n_bands: int = 4,
+    n_bands: int | None = None,
     target_bucket_rows: int = 32,
     min_bits_per_band: int = 4,
-    max_bits_per_band: int = 15,
+    max_bits_per_band: int = 24,
+    recall_sim: float = 0.95,
+    recall_target: float = 0.9,
 ) -> tuple[int, int]:
     """(n_bits, n_bands) scaled with corpus size — the default whenever a
-    caller does not pin the band family explicitly.
+    caller does not pin the band family explicitly. ``n_bits`` is the
+    TOTAL number of hyperplanes (= bits_per_band * n_bands); bands are
+    computed per-band from their own plane group, so the family is not
+    capped by a 63-bit packed signature.
 
-    Bits per band = ceil(log2(n_rows / target_bucket_rows)), clamped to
-    [min, max], so expected bucket occupancy stays ~target_bucket_rows
-    regardless of corpus size: a fixed 4-bit band (16 buckets) that is
-    fine at fixture scale would put ~n/16 of a 10^9-row corpus in every
-    bucket and the band self-join would do quadratic work per bucket.
-    With the cap at 15 bits/band and 4 bands the signature tops out at 60
-    bits (fits the bigint bitmask); at that width residual mega-buckets
-    are exact-duplicate-grade clusters, which the salted join spreads.
+    Two knobs, both derived:
+      * bits per band = ceil(log2(n_rows / target_bucket_rows)), clamped,
+        so expected bucket occupancy stays ~target_bucket_rows regardless
+        of corpus size — a fixed 4-bit band (16 buckets) would put ~n/16
+        of a 10^9-row corpus in every bucket and the band self-join would
+        do quadratic work per bucket.
+      * n_bands = the count that keeps analytic recall >= recall_target
+        for pairs at cosine >= recall_sim (SRP bit-agreement probability
+        p = 1 - arccos(sim)/pi; band recall 1-(1-p^r)^b) — wider bands
+        cut false candidates exponentially but also true ones, so the
+        band count must grow with band width or near-dup recall decays
+        at crawl scale.
 
     Deterministic given n_rows: 500 rows (the sf0.01 embeddings fixture)
     -> (16, 4), matching the inlined-hyperplane DuckDB oracle replicas;
-    2000 rows (sf0.1) -> (24, 4); 10^9 -> (60, 4).
+    2000 rows (sf0.1) -> (24, 4); the floor of 4 bands keeps the fixture
+    family stable.
     """
     import math
 
     if n_rows <= 0:
-        return min_bits_per_band * n_bands, n_bands
-    bpb = math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))
-    bpb = min(max(bpb, min_bits_per_band), max_bits_per_band)
+        bpb = min_bits_per_band
+    else:
+        bpb = math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))
+        bpb = min(max(bpb, min_bits_per_band), max_bits_per_band)
+    if n_bands is None:
+        p = 1.0 - math.acos(recall_sim) / math.pi
+        miss_per_band = 1.0 - p ** bpb
+        n_bands = max(
+            4, math.ceil(math.log(1.0 - recall_target)
+                         / math.log(miss_per_band))
+        )
     return bpb * n_bands, n_bands
 
 
@@ -139,7 +157,7 @@ def _resolve_srp_family(
         return n_bits, n_bands
     if n_rows is None:
         n_rows = emb.count()
-    return srp_params(n_rows, n_bands or 4)
+    return srp_params(n_rows, n_bands)
 
 
 def _srp_bands(
@@ -152,26 +170,36 @@ def _srp_bands(
     out_key: str,
     carry_vec: bool = False,
 ) -> DataFrame:
-    """(out_key[, _v_<out_key>], band_id, band_value) rows: SRP signature
-    split into ``n_bands`` equal-width bands — the shared banding shape
-    consumed by banded_pairs_salted and the ann bucket join."""
+    """(out_key[, _v_<out_key>], band_id, band_value) rows — the shared
+    banding shape consumed by banded_pairs_salted and the ann bucket
+    join. Band ``b``'s value is computed directly from its own plane
+    group planes[b*r:(b+1)*r] (bit j weight 2^j) — value-identical to
+    slicing a packed signature but NOT capped by the 63-bit bigint, so
+    the adaptive family can grow past 62 total planes at crawl scale."""
     bits_per_band = n_bits // n_bands
-    mask = (1 << bits_per_band) - 1
+
+    def band_value(b: int) -> Column:
+        group = planes[b * bits_per_band: (b + 1) * bits_per_band]
+        out = F.lit(0).cast("bigint")
+        for j, plane in enumerate(group):
+            arr = F.array(*[F.lit(float(w)) for w in plane])
+            s = dot_expr(F.col(vec_col), arr)
+            out = out + F.when(
+                s > 0, F.lit(2 ** j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
     cols = [F.col(key_col).alias(out_key)]
     if carry_vec:
         cols.append(F.col(vec_col).alias(f"_v_{out_key}"))
-    sig = df.select(
-        *cols, srp_signature(F.col(vec_col), planes).alias("sig")
-    )
     keep = [out_key] + ([f"_v_{out_key}"] if carry_vec else [])
-    return sig.select(
-        *keep,
+    return df.select(
+        *cols,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).cast("bigint").alias("band_id"),
-                    (F.shiftright("sig", b * bits_per_band)
-                     % F.lit(mask + 1)).alias("band_value"),
+                    band_value(b).alias("band_value"),
                 )
                 for b in range(n_bands)
             ])
