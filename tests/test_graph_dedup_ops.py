@@ -617,3 +617,88 @@ def test_gram_hashes_batch_matches_per_doc_spec():
     assert _gram_hashes_batch([None, None], 3) == [None, None]
     assert _gram_hashes_batch([], 3) == []
     assert _gram_hashes_batch(["", None, " "], 2) == [[0], None, [0]]
+
+
+def test_ivf_params_scale_and_small_corpus_guard():
+    from zh_ner_tf_spark.operators.similarity import ivf_params
+
+    assert ivf_params(0) == 16
+    assert ivf_params(500) == 22          # ~sqrt(n)
+    assert ivf_params(10 ** 6) == 256     # capped: driver-side k-means
+    assert ivf_params(100) == 16          # floored
+    last = 0
+    for n in (10, 100, 10 ** 4, 10 ** 6, 10 ** 9):
+        c = ivf_params(n)
+        assert c >= last
+        last = c
+
+
+def test_multi_probe_ann_recall_never_worse(spark):
+    """Multi-probe LSH (query-side bit flips by ascending |margin|):
+    per-query recall vs brute force is monotone non-decreasing in
+    n_probes, and strictly recovers misses on a corpus where single-
+    bucket ANN drops true neighbors. Corpus-side work is unchanged —
+    probes only add QUERY band rows."""
+    rng = np.random.RandomState(23)
+    corpus = rng.normal(size=(300, 16)).astype(np.float32)
+    cdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(corpus)],
+        "vec_id int, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, corpus[i * 37].tolist()) for i in range(4)],
+        "query_id int, embedding array<float>",
+    )
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(cdf, qdf, k=5).collect()
+    }
+
+    def recall(n_probes: int) -> float:
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ann_topk(
+                cdf, qdf, k=5, n_bits=24, n_bands=4, n_probes=n_probes
+            ).collect()
+        }
+        return len(got & want) / len(want)
+
+    r1, r3, r6 = recall(1), recall(3), recall(6)
+    assert r1 <= r3 <= r6, (r1, r3, r6)
+    assert r6 > r1  # probing recovers at least one dropped neighbor
+    assert r6 >= 0.5
+
+
+def test_srp_bands_match_packed_signature_slices(spark):
+    """_srp_bands computes band values per plane group; srp_signature is
+    the packed-bigint spec the DuckDB oracle replica re-expresses (sig =
+    sum 2^i [dot>0], band b = bits [b*r, (b+1)*r)). Both constructions
+    must agree bit-for-bit for families that fit the bigint."""
+    from zh_ner_tf_spark.operators.similarity import (
+        _hyperplanes,
+        _srp_bands,
+        srp_signature,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.normal(size=16).astype(np.float32).tolist())
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    n_bits, n_bands = 16, 4
+    planes = _hyperplanes(16, n_bits)
+    got = {
+        (r["eid"], r["band_id"]): r["band_value"]
+        for r in _srp_bands(
+            df, "vec_id", "embedding", planes, n_bits, n_bands, "eid"
+        ).collect()
+    }
+    bpb = n_bits // n_bands
+    packed = df.select(
+        F.col("vec_id"),
+        srp_signature(F.col("embedding"), planes).alias("sig"),
+    )
+    want = {}
+    for r in packed.collect():
+        for b in range(n_bands):
+            want[(r["vec_id"], b)] = (r["sig"] >> (b * bpb)) & ((1 << bpb) - 1)
+    assert got == want

@@ -133,7 +133,11 @@ def srp_params(
 
 
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection signature as a bigint bitmask."""
+    """Signed-random-projection signature as a bigint bitmask — the
+    packed-form SPEC of the banding (the DuckDB oracle replica builds
+    this sig and slices bit ranges; _srp_bands computes the identical
+    band values per plane group without the 63-bit cap — parity is
+    pinned by tests). Only valid for len(planes) <= 62."""
     out = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(w)) for w in plane])
@@ -246,6 +250,20 @@ def lsh_candidates(
     )
 
 
+def ivf_params(n_rows: int, max_centroids: int = 256) -> int:
+    """Codebook size scaled with corpus size: ~sqrt(n) centroids (the
+    standard IVF balance point — probe cost and per-list scan cost both
+    ~sqrt(n)), floored at 16 and capped where the bounded driver-side
+    k-means sample stops being enough training data per centroid. Past
+    the cap a real deployment trains the codebook with distributed
+    k-means; the assignment/join shape here is unchanged by that."""
+    import math
+
+    if n_rows <= 0:
+        return 16
+    return min(max_centroids, max(16, round(math.sqrt(n_rows))))
+
+
 def fit_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -265,6 +283,9 @@ def fit_ivf_centroids(
         return None  # empty corpus: no codebook (callers fall back)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
+    # a corpus smaller than the requested codebook gets one centroid per
+    # row (every list is a singleton; assignment degenerates gracefully)
+    n_centroids = min(n_centroids, len(sample))
     cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
     for _ in range(iters):
         assign = (sample @ cent.T).argmax(axis=1)
@@ -295,12 +316,13 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     query_key: str = "query_id",
     seed: int = SEED,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are bucketed by nearest
     centroid (one Arrow-vectorized pass, never shuffling raw vectors by
@@ -309,8 +331,12 @@ def ivf_topk(
     brute-force result exactly (tested).
 
     The 100 TB shape: tiny global broadcast codebook, bucket-keyed equi
-    join, exact rescoring on ~corpus * nprobe / n_centroids rows."""
+    join, exact rescoring on ~corpus * nprobe / n_centroids rows.
+    ``n_centroids`` defaults to ivf_params(corpus size) (~sqrt(n))."""
     spark = corpus.sparkSession
+    if n_centroids is None:
+        n_centroids = ivf_params(n_rows if n_rows is not None
+                                 else corpus.count())
     cent = fit_ivf_centroids(corpus, n_centroids, vec_col, seed=seed)
     if cent is None:
         # empty corpus: no codebook to fit; the exact path degenerates
@@ -343,6 +369,60 @@ def ivf_topk(
     )
 
 
+def _query_probe_bands(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    n_bits: int,
+    n_bands: int,
+    n_probes: int,
+    out_key: str,
+) -> DataFrame:
+    """Multi-probe band rows for the QUERY side (Lv et al., multi-probe
+    LSH; public technique): besides each band's base bucket, probe the
+    buckets reached by flipping the ``n_probes - 1`` lowest-|margin| bits
+    — the signs most likely to differ for a true near neighbor. Runs as
+    one Arrow UDF over the (tiny, broadcast-bound) query side only; the
+    corpus side stays pure JVM and pays nothing. Output shape matches
+    _srp_bands: (out_key, _v_<out_key>, band_id, band_value)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    planes_np = np.asarray(planes, dtype=np.float64)
+    r = n_bits // n_bands
+    extra = max(0, n_probes - 1)
+
+    @pandas_udf(
+        "array<struct<band_id: bigint, band_value: bigint>>",
+        PandasUDFType.SCALAR,
+    )
+    def _probes(vecs: pd.Series) -> pd.Series:
+        weights = 1 << np.arange(r, dtype=np.int64)
+        out = []
+        for v in vecs:
+            d = planes_np @ np.asarray(v, dtype=np.float64)
+            bits = (d > 0).astype(np.int64)
+            rows = []
+            for b in range(n_bands):
+                seg = slice(b * r, (b + 1) * r)
+                base = int((bits[seg] * weights).sum())
+                rows.append({"band_id": b, "band_value": base})
+                for j in np.argsort(np.abs(d[seg]), kind="stable")[:extra]:
+                    rows.append(
+                        {"band_id": b, "band_value": base ^ (1 << int(j))}
+                    )
+            out.append(rows)
+        return pd.Series(out, dtype=object)
+
+    return df.select(
+        F.col(key_col).alias(out_key),
+        F.col(vec_col).alias(f"_v_{out_key}"),
+        F.explode(_probes(F.col(vec_col))).alias("bv"),
+    ).select(out_key, f"_v_{out_key}", "bv.band_id", "bv.band_value")
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -354,6 +434,7 @@ def ann_topk(
     n_bands: int | None = None,
     seed: int = SEED,
     n_rows: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: score only bucket-mates.
 
@@ -364,7 +445,13 @@ def ann_topk(
     reducer-side salting (each corpus partition streams against the tiny
     query-band map); the scale knob here is candidate density, which the
     adaptive band width bounds at ~target_bucket_rows per band per
-    query."""
+    query.
+
+    ``n_probes > 1`` enables multi-probe LSH on the query side (flip the
+    lowest-|margin| signature bits per band): recall recovery that costs
+    extra QUERY band rows only — never more corpus work — the right
+    trade at crawl scale where the corpus dominates. n_probes=1 keeps
+    the exact single-bucket behavior (the oracle-replicated family)."""
     first = corpus.select(F.size(vec_col).alias("d")).first()
     if first is None:
         # empty corpus: identical (empty) output via the exact path
@@ -372,10 +459,21 @@ def ann_topk(
                                 query_key)
     n_bits, n_bands = _resolve_srp_family(corpus, n_bits, n_bands, n_rows)
     planes = _hyperplanes(int(first["d"]), n_bits, seed)
-    qb = F.broadcast(
-        _srp_bands(queries, query_key, vec_col, planes, n_bits, n_bands,
-                   "qid", carry_vec=True)
-    )
+    if n_probes > 1:
+        # NumPy's blocked dot may disagree with the JVM fold in the last
+        # ulp when a plane dot is ~0 and flip a sign — acceptable for the
+        # probe path (approximate by definition, pytest-gated on recall);
+        # the n_probes=1 path stays pure JVM and value-exact vs the
+        # DuckDB replica.
+        qb = F.broadcast(
+            _query_probe_bands(queries, query_key, vec_col, planes,
+                               n_bits, n_bands, n_probes, "qid")
+        )
+    else:
+        qb = F.broadcast(
+            _srp_bands(queries, query_key, vec_col, planes, n_bits,
+                       n_bands, "qid", carry_vec=True)
+        )
     cb = _srp_bands(corpus, key_col, vec_col, planes, n_bits, n_bands,
                     "cid", carry_vec=True)
     pairs = qb.join(cb, ["band_id", "band_value"]).dropDuplicates(["qid", "cid"])
