@@ -228,3 +228,53 @@ def test_streaming_pages_to_triples_matches_batch(spark, tmp_path):
     got = rows_of(spark.table("stream_triples"))
     want = rows_of(triples_of(spark.read.parquet(src)))
     assert got == want and len(want) > 50
+
+
+def test_stream_dedup_groups_match_batch(spark, tmp_path):
+    """Streaming exact-dedup state carries across micro-batches: with
+    copies of the same document landing in DIFFERENT files (batches),
+    the last emission per content hash equals the batch
+    exact_dup_groups row (keep_id = global min doc id, n_dups = total),
+    including a NULL-text group."""
+    import pandas as pd
+
+    from zh_ner_tf_spark.operators.dedup import exact_dup_groups
+    from zh_ner_tf_spark.streaming.stateful import stream_dedup_groups
+
+    rows = []
+    for i in range(90):
+        # 30 distinct texts, each duplicated 3x with spread-out doc ids
+        rows.append((i, f"document body number {i % 30}"))
+    rows.append((1000, None))
+    rows.append((1001, None))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    path = str(tmp_path / "docs_stream")
+    # 3 files split BY DOC ID RANGE so each text's copies land in
+    # different micro-batches (i, i+30, i+60)
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(path)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        stream_dedup_groups(stream)
+        .writeStream.format("memory").queryName("dedup_groups")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table("dedup_groups").collect()
+    # multiple emissions per hash prove multi-batch state carry
+    assert len(emitted) > 32
+    last: dict = {}
+    for r in emitted:  # memory sink appends in emission order
+        last[r["content_hash"]] = (r["keep_id"], r["n_dups"])
+    want = {
+        r["content_hash"]: (r["keep_id"], r["n_dups"])
+        for r in exact_dup_groups(docs).collect()
+    }
+    assert last == want
+    assert want[None] == (1000, 2)  # NULL-text group pinned

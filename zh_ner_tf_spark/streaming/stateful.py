@@ -102,3 +102,46 @@ def running_user_totals_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value") * 100).cast("bigint").alias("value_c"),
     )
+
+
+_DEDUP_STATE_SCHEMA = "keep_id bigint, n bigint"
+_DEDUP_OUT_SCHEMA = "content_hash string, keep_id bigint, n_dups bigint"
+
+
+def _update_dedup(key, pdf_iter, state: GroupState):
+    keep, n = state.get if state.exists else (None, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        m = int(pdf["doc_id"].min())
+        keep = m if keep is None else min(keep, m)
+    state.update((keep, n))
+    yield pd.DataFrame(
+        {"content_hash": [key[0]], "keep_id": [keep], "n_dups": [n]}
+    )
+
+
+def stream_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: a document stream becomes running
+    per-content-hash groups (keep_id = min doc id seen so far, n_dups =
+    running count) via applyInPandasWithState keyed on md5(text). The
+    LAST emission per hash equals the batch ``dedup.exact_dup_groups``
+    row regardless of how documents split across micro-batches (min and
+    count are order-insensitive) — the equivalence the test pins over a
+    multi-batch availableNow run.
+
+    Scale shape: the shuffle key is the 32-byte digest (computed in the
+    stream projection, the document body never shuffles) and state is
+    O(distinct contents) x 16 bytes — the streaming twin of the batch
+    dedup's "shuffle carries the hash, not the document" property. A
+    crawl consumer keeps only the first-seen copy by anti-joining
+    arrivals against emitted (content_hash, keep_id)."""
+    hashed = docs.select(
+        F.md5(F.col("text")).alias("content_hash"), F.col("doc_id")
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _update_dedup,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
