@@ -739,9 +739,10 @@ def _write_baseline_md(result: dict) -> None:
             f"hardware ceiling of {c.get('ceiling_efficiency', '?')} efficiency before a single byte of",
             "engine code runs. Memory bandwidth is similarly shared (see the",
             "memory-stream control row: its 8->32 ratio bounds shuffle/GEMM-",
-            "heavy stages); normalization below deliberately uses the",
-            "STRICTER ALU ceiling. Reps interleave the two parallelism",
-            "levels so host drift cannot masquerade as a scaling signal.",
+            "heavy stages); normalizations below are given against BOTH the",
+            "ALU ceiling and the job-matched f32-GEMM ceiling. Reps",
+            "interleave the two parallelism levels so host drift cannot",
+            "masquerade as a scaling signal.",
             "On a real cluster, N -> 4N executors multiplies every resource;",
             "here local[8] -> local[32] multiplies only the thread count",
             "against a fixed resource budget.",

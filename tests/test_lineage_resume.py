@@ -382,3 +382,27 @@ def test_materialize_graph_snapshots_nodes_and_edges(spark, tmp_path):
     edges = read_snapshot(spark, f"{root}/edges")
     assert nodes.count() == 50 and edges.count() == 30
     assert {r["surface"] for r in nodes.collect()} == {f"n{i}" for i in range(50)}
+
+
+def test_snapshot_stage_with_lineage_empty_input(spark, tmp_path):
+    """First call with an empty input publishes a valid EMPTY snapshot
+    (schema-carrying), not a missing-path failure; a later real
+    increment under a new stage appends normally."""
+    from zh_ner_tf_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_stage_with_lineage,
+    )
+
+    path = str(tmp_path / "tbl")
+    empty = spark.range(0).select(
+        F.col("id").alias("canon_id"), F.lit("x").alias("surface")
+    )
+    sid, out = snapshot_stage_with_lineage(empty, spark, path, "s1", "canon_id", 4)
+    assert sid == 1 and out.count() == 0
+    assert read_snapshot(spark, path).count() == 0
+    full = spark.range(5).select(
+        F.col("id").alias("canon_id"), F.lit("y").alias("surface")
+    )
+    sid2, _ = snapshot_stage_with_lineage(full, spark, path, "s2", "canon_id", 4)
+    assert sid2 == 2 and read_snapshot(spark, path).count() == 5
+    assert read_snapshot(spark, path, 1).count() == 0

@@ -130,6 +130,12 @@ def run_stage_with_lineage(
             )
         )
         manifest_rows.coalesce(1).write.mode("append").parquet(manifest_dir)
+    elif not os.path.exists(out_dir):
+        # first call with an EMPTY input: nothing pending and nothing
+        # ever written — materialize an empty, schema-carrying output so
+        # the read-back (and any snapshot publish of this directory)
+        # sees a valid empty table instead of failing on a missing path
+        transform(pending).write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)
 
 
