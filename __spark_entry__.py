@@ -1018,6 +1018,53 @@ def q_approx_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch via
+    percentile_approx — the order-statistics primitive at crawl scale,
+    where exact percentiles need a full sort): the gate emits the EXACT
+    interpolated p50/p90/p99 (cents) plus within-rank-error flags for
+    the accuracy=10000 sketch. percentile_approx guarantees a value
+    whose rank is within n/accuracy of the target, so each flag checks
+    the sketch value against the exact quantiles at q +- 2/accuracy
+    (double the guarantee, absorbing interpolation at the edges); the
+    oracle pins the exact values and the bound, not the sketch's
+    internal estimate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    qs = [0.5, 0.9, 0.99]
+    delta = 2.0 / 10000
+    exact = F.expr(f"percentile(cents, array({','.join(map(str, qs))}))")
+    lo = F.expr(
+        "percentile(cents, array(%s))"
+        % ",".join(str(max(q - delta, 0.0)) for q in qs)
+    )
+    hi = F.expr(
+        "percentile(cents, array(%s))"
+        % ",".join(str(min(q + delta, 1.0)) for q in qs)
+    )
+    ap = F.expr(
+        "percentile_approx(cents, array(%s), 10000)"
+        % ",".join(map(str, qs))
+    )
+    agg = o.agg(
+        exact.alias("_ex"), lo.alias("_lo"), hi.alias("_hi"), ap.alias("_ap")
+    )
+    cols = []
+    for i, q in enumerate(qs):
+        tag = str(q).replace("0.", "p")
+        cols.append(
+            F.round(F.element_at("_ex", i + 1), 4).alias(f"{tag}_exact")
+        )
+        cols.append(
+            (
+                (F.element_at("_ap", i + 1) >= F.element_at("_lo", i + 1))
+                & (F.element_at("_ap", i + 1) <= F.element_at("_hi", i + 1))
+            ).cast("bigint").alias(f"{tag}_in_bound")
+        )
+    return agg.select(*cols)
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the non-hierarchical variant beside CUBE
     and ROLLUP): per-status totals, per-priority totals, and the grand
@@ -1198,7 +1245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_order_value": q_median_order_value,
         "pivot_order_status": q_pivot_order_status,
         "set_ops_customers": q_set_ops_customers,
-        # --- rotated out this round (driver-green r01+r02+r03) ---
+        # --- below the driver's 50-row window this round: the rotation
+        # pool (driver-green r01+r02+r03) plus new r4 entries awaiting
+        # their rotation in; ALL are gated locally every round by
+        # tests/test_entry_contract.py ---
+        "approx_quantiles_orders": q_approx_quantiles_orders,
         "filter_pushdown_scan": q_filter_pushdown_scan,
         "orders_by_month": q_orders_by_month,
         "events_by_type": q_events_by_type,
@@ -2136,6 +2187,23 @@ FROM events GROUP BY user_id
     fam_sqls["approx_distinct_documents"] = """
 SELECT count(DISTINCT text)::BIGINT AS exact_distinct, 1::BIGINT AS within_5pct
 FROM documents
+"""
+
+    # exact interpolated quantiles: DuckDB quantile_cont and Spark's
+    # `percentile` both use the R-7 definition (value at rank (n-1)*q,
+    # linear interpolation); the in-bound flags are pinned TRUE — the
+    # sketch's rank-error guarantee is the gated property
+    fam_sqls["approx_quantiles_orders"] = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+)
+SELECT round(quantile_cont(cents, 0.5), 4) AS p5_exact,
+       1::BIGINT AS p5_in_bound,
+       round(quantile_cont(cents, 0.9), 4) AS p9_exact,
+       1::BIGINT AS p9_in_bound,
+       round(quantile_cont(cents, 0.99), 4) AS p99_exact,
+       1::BIGINT AS p99_in_bound
+FROM c
 """
 
     fam_sqls["median_order_value"] = """

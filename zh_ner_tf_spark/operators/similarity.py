@@ -129,6 +129,11 @@ def srp_params(
             4, math.ceil(math.log(1.0 - recall_target)
                          / math.log(miss_per_band))
         )
+        # cap the work multiplier: with a LOW recall_sim and wide bands
+        # the analytic band count explodes (the regime where LSH is the
+        # wrong tool — use IVF); past the cap the recall target is not
+        # met and callers should probe (ann_topk n_probes) instead
+        n_bands = min(n_bands, 64)
     return bpb * n_bands, n_bands
 
 
@@ -402,6 +407,9 @@ def _query_probe_bands(
         weights = 1 << np.arange(r, dtype=np.int64)
         out = []
         for v in vecs:
+            if v is None:  # null embedding: no bands (joins nothing),
+                out.append([])  # matching the JVM path's null band_value
+                continue
             d = planes_np @ np.asarray(v, dtype=np.float64)
             bits = (d > 0).astype(np.int64)
             rows = []
