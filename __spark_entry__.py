@@ -1635,6 +1635,22 @@ def _extract_text_sql() -> str:
     )
 
 
+def _sf001_embeddings_rows() -> int:
+    """Row count of the sf0.01 embeddings table the correctness gate
+    runs against — read from the parquet footer at SQL-generation time
+    so the oracle's band family tracks the SAME adaptive formula input
+    the engine will count at run time (a regenerated fixture with a
+    different row count would otherwise silently split the families)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return 500  # the fixture size every round has shipped
+
+
 def _srp_sql_parts() -> tuple[str, str]:
     """(signature expr over column ``v``, band-struct list) for the
     seeded SRP family — shared by the ann_topk and embedding_near_dup
@@ -1644,7 +1660,7 @@ def _srp_sql_parts() -> tuple[str, str]:
     with the engine's parameter choice at gate scale."""
     from zh_ner_tf_spark.operators.similarity import _hyperplanes, srp_params
 
-    n_bits, n_bands = srp_params(500)  # sf0.01 embeddings row count
+    n_bits, n_bands = srp_params(_sf001_embeddings_rows())
     planes = _hyperplanes(64, n_bits, SEED)
     bpb = n_bits // n_bands
     mask = (1 << bpb) - 1
@@ -1670,7 +1686,8 @@ def _ann_topk_sql() -> str:
     bucket join; cosine rescore; k=10)."""
     sig_expr, band_structs = _srp_sql_parts()
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),  -- null vecs emit no bands (engine parity)
 s AS (SELECT vec_id, v, ({sig_expr})::BIGINT AS sig FROM e),
 b AS (SELECT vec_id, v, unnest([{band_structs}]) AS bv FROM s),
 p AS (
@@ -1699,7 +1716,8 @@ def _embedding_near_dup_sql(threshold: float) -> str:
     round-6 threshold filter."""
     sig_expr, band_structs = _srp_sql_parts()
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),  -- null vecs emit no bands (engine parity)
 s AS (SELECT vec_id, v, ({sig_expr})::BIGINT AS sig FROM e),
 b AS (SELECT vec_id, v, unnest([{band_structs}]) AS bv FROM s),
 p AS (

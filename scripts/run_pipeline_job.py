@@ -50,8 +50,15 @@ def main() -> None:
     out = run_pipeline(spark, pages, weights, word2id, lang="zh")
     out["triples"].write.mode("overwrite").parquet(f"{out_dir}/triples")
     # nodes/edges go through the unified snapshot+lineage sink: killed
-    # runs resume per bucket, readers only ever see committed snapshots
-    sids = materialize_graph(spark, out, out_dir, stage="job")
+    # runs resume per bucket, readers only ever see committed snapshots.
+    # The stage is keyed on the job's input (n_pages) and committed with
+    # replace semantics: a re-run with the SAME input resumes/no-ops,
+    # while a re-run with a DIFFERENT input publishes a snapshot that
+    # references only its own graph — never a union with a previous
+    # run's stale nodes/edges (which would silently disagree with the
+    # freshly overwritten triples table)
+    sids = materialize_graph(spark, out, out_dir, stage=f"job-{n_pages}",
+                             replace=True)
     n = spark.read.parquet(f"{out_dir}/triples").count()
     print(f"TRIPLES_WRITTEN={n}")
     print(f"GRAPH_SNAPSHOTS={sids}")

@@ -702,3 +702,41 @@ def test_srp_bands_match_packed_signature_slices(spark):
         for b in range(n_bands):
             want[(r["vec_id"], b)] = (r["sig"] >> (b * bpb)) & ((1 << bpb) - 1)
     assert got == want
+
+
+def test_srp_family_explicit_bits_and_degenerate_params(spark):
+    """Review regressions: an explicit n_bits ALONE keeps the legacy
+    4-band family (not silently discarded for the adaptive default);
+    recall_sim=1.0 / recall_target=1.0 degrade gracefully instead of
+    raising math-domain errors."""
+    from zh_ner_tf_spark.operators.similarity import (
+        _resolve_srp_family,
+        srp_params,
+    )
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id int, embedding array<float>")
+    assert _resolve_srp_family(df, 32, None, n_rows=1) == (32, 4)
+    assert _resolve_srp_family(df, None, 8, n_rows=500) == (32, 8)
+    assert _resolve_srp_family(df, 16, 4, n_rows=10**9) == (16, 4)
+    assert srp_params(10_000, recall_sim=1.0) == (36, 4)  # 9-bit bands, 4 bands
+    bits, bands = srp_params(10_000, recall_target=1.0)
+    assert bands <= 64  # capped, no domain error
+
+
+def test_null_embeddings_emit_no_candidates(spark):
+    """NULL vectors must vanish from the LSH paths: without the
+    isNotNull filter every null row lands in bucket 0 of every band (a
+    bogus mega-bucket pairing unrelated rows with NULL cosines)."""
+    rng = np.random.RandomState(31)
+    rows = [(i, rng.normal(size=8).astype(np.float32).tolist()) for i in range(20)]
+    rows += [(100, None), (101, None), (102, None)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = {(r["src"], r["dst"])
+             for r in lsh_candidates(df, n_bits=16, n_bands=4).collect()}
+    assert all(s < 100 and d < 100 for s, d in pairs)
+    # and the probe path agrees with the single-bucket path on nulls
+    q = spark.createDataFrame(
+        [(0, None)], "query_id int, embedding array<float>"
+    )
+    assert ann_topk(df, q, k=3, n_bits=16, n_bands=4).count() == 0
+    assert ann_topk(df, q, k=3, n_bits=16, n_bands=4, n_probes=3).count() == 0

@@ -406,3 +406,68 @@ def test_snapshot_stage_with_lineage_empty_input(spark, tmp_path):
     sid2, _ = snapshot_stage_with_lineage(full, spark, path, "s2", "canon_id", 4)
     assert sid2 == 2 and read_snapshot(spark, path).count() == 5
     assert read_snapshot(spark, path, 1).count() == 0
+
+
+def test_empty_then_nonempty_same_stage_resumes_cleanly(spark, tmp_path):
+    """Review regression: a stage first run with an EMPTY input writes a
+    root-level empty marker; re-running the SAME stage with rows must
+    clear the marker and produce the normal bucket-partitioned layout
+    (previously the mixed layout wedged every future read)."""
+    from zh_ner_tf_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_stage_with_lineage,
+    )
+
+    path = str(tmp_path / "tbl")
+    empty = spark.range(0).select(
+        F.col("id").alias("canon_id"), F.lit("x").alias("surface")
+    )
+    sid1, _ = snapshot_stage_with_lineage(empty, spark, path, "s", "canon_id", 4)
+    assert sid1 == 1
+    full = spark.range(8).select(
+        F.col("id").alias("canon_id"), F.lit("y").alias("surface")
+    )
+    sid2, out = snapshot_stage_with_lineage(full, spark, path, "s", "canon_id", 4)
+    assert out.count() == 8
+    assert read_snapshot(spark, path).count() == 8
+    # a further no-op resume stays stable
+    sid3, _ = snapshot_stage_with_lineage(full, spark, path, "s", "canon_id", 4)
+    assert read_snapshot(spark, path).count() == 8
+
+
+def test_materialize_graph_replace_mode_no_stale_union(spark, tmp_path):
+    """Review regression (run_pipeline_job shape): two full-rebuild runs
+    with different inputs must NOT union — replace-mode snapshots
+    reference only their own stage, while the first run's snapshot stays
+    time-travel-readable."""
+    from zh_ner_tf_spark.pipeline import materialize_graph
+    from zh_ner_tf_spark.sources.sinks import read_snapshot
+
+    def outs(n, tag):
+        return {
+            "nodes": spark.range(n).select(
+                F.col("id").alias("canon_id"),
+                F.lit(tag).alias("surface"),
+                F.lit("PER").alias("etype"), F.lit(1).alias("freq"),
+            ),
+            "edges": spark.range(n).select(
+                F.col("id").alias("src"), F.col("id").alias("dst"),
+                F.lit("works_for").alias("pred"), F.lit(1).alias("weight"),
+            ),
+        }
+
+    root = str(tmp_path / "g")
+    s1 = materialize_graph(spark, outs(10, "run1"), root, stage="job-10",
+                           replace=True)
+    s2 = materialize_graph(spark, outs(25, "run2"), root, stage="job-25",
+                           replace=True)
+    assert s1 == {"nodes": 1, "edges": 1} and s2 == {"nodes": 2, "edges": 2}
+    latest = read_snapshot(spark, f"{root}/nodes")
+    assert latest.count() == 25
+    assert {r["surface"] for r in latest.collect()} == {"run2"}
+    old = read_snapshot(spark, f"{root}/nodes", 1)
+    assert old.count() == 10 and {r["surface"] for r in old.collect()} == {"run1"}
+    # same-input re-run is an idempotent no-op
+    s3 = materialize_graph(spark, outs(25, "run2"), root, stage="job-25",
+                           replace=True)
+    assert s3 == {"nodes": 2, "edges": 2}

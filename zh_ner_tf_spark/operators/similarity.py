@@ -123,12 +123,18 @@ def srp_params(
         bpb = math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))
         bpb = min(max(bpb, min_bits_per_band), max_bits_per_band)
     if n_bands is None:
-        p = 1.0 - math.acos(recall_sim) / math.pi
+        p = 1.0 - math.acos(min(max(recall_sim, -1.0), 1.0)) / math.pi
         miss_per_band = 1.0 - p ** bpb
-        n_bands = max(
-            4, math.ceil(math.log(1.0 - recall_target)
-                         / math.log(miss_per_band))
-        )
+        recall_target = min(max(recall_target, 0.0), 1.0 - 1e-9)
+        if miss_per_band <= 0.0:
+            # recall_sim == 1.0: exact-duplicate vectors share every
+            # band deterministically; one band family suffices
+            n_bands = 4
+        else:
+            n_bands = max(
+                4, math.ceil(math.log(1.0 - recall_target)
+                             / math.log(miss_per_band))
+            )
         # cap the work multiplier: with a LOW recall_sim and wide bands
         # the analytic band count explodes (the regime where LSH is the
         # wrong tool — use IVF); past the cap the recall target is not
@@ -161,9 +167,11 @@ def _resolve_srp_family(
 ) -> tuple[int, int]:
     """Resolve (n_bits, n_bands): explicit values win; otherwise derive
     from the corpus row count via srp_params (one count() over the key
-    projection — metadata-cheap on parquet; pass ``n_rows`` to skip)."""
-    if n_bits is not None and n_bands is not None:
-        return n_bits, n_bands
+    projection — metadata-cheap on parquet; pass ``n_rows`` to skip).
+    An explicit n_bits alone keeps the legacy 4-band family (the old
+    fixed default) rather than being silently discarded."""
+    if n_bits is not None:
+        return n_bits, (n_bands if n_bands is not None else 4)
     if n_rows is None:
         n_rows = emb.count()
     return srp_params(n_rows, n_bands)
@@ -184,7 +192,14 @@ def _srp_bands(
     join. Band ``b``'s value is computed directly from its own plane
     group planes[b*r:(b+1)*r] (bit j weight 2^j) — value-identical to
     slicing a packed signature but NOT capped by the 63-bit bigint, so
-    the adaptive family can grow past 62 total planes at crawl scale."""
+    the adaptive family can grow past 62 total planes at crawl scale.
+
+    NULL vectors emit no band rows: without the filter every NULL dot
+    product's CASE falls to the 0 branch and all null-embedding rows
+    pile into bucket 0 of every band — a bogus mega-bucket at crawl
+    scale (null embeddings are common in a partially-embedded corpus)
+    that pairs unrelated rows and feeds NULL cosines downstream."""
+    df = df.filter(F.col(vec_col).isNotNull())
     bits_per_band = n_bits // n_bands
 
     def band_value(b: int) -> Column:
@@ -407,8 +422,8 @@ def _query_probe_bands(
         weights = 1 << np.arange(r, dtype=np.int64)
         out = []
         for v in vecs:
-            if v is None:  # null embedding: no bands (joins nothing),
-                out.append([])  # matching the JVM path's null band_value
+            if v is None:  # null embedding: no bands — same as the
+                out.append([])  # JVM path's isNotNull filter in _srp_bands
                 continue
             d = planes_np @ np.asarray(v, dtype=np.float64)
             bits = (d > 0).astype(np.int64)

@@ -221,6 +221,7 @@ def materialize_graph(
     root: str,
     stage: str = "graph",
     n_buckets: int = 32,
+    replace: bool = False,
 ) -> dict[str, int]:
     """Publish the pipeline's nodes/edges through the unified
     snapshot+lineage sink (sources/sinks.snapshot_stage_with_lineage):
@@ -228,18 +229,21 @@ def materialize_graph(
     snapshot commit gives atomic visibility + time travel, and both
     compose — a killed graph write leaves the tables at their previous
     snapshot, a re-run recomputes only uncommitted buckets and then
-    publishes. ``stage`` names the crawl increment. Returns the
-    committed snapshot id per table."""
+    publishes. ``stage`` names the crawl increment; ``replace=True``
+    publishes snapshots referencing ONLY this stage's directory (the
+    full-rebuild shape — a job regenerating the whole graph must not
+    union with a previous run's rows). Returns the committed snapshot
+    id per table."""
     import os
 
     from zh_ner_tf_spark.sources.sinks import snapshot_stage_with_lineage
 
     nodes_sid, _ = snapshot_stage_with_lineage(
         outputs["nodes"], spark, os.path.join(root, "nodes"), stage,
-        "canon_id", n_buckets,
+        "canon_id", n_buckets, replace=replace,
     )
     edges_sid, _ = snapshot_stage_with_lineage(
         outputs["edges"], spark, os.path.join(root, "edges"), stage,
-        "src", n_buckets,
+        "src", n_buckets, replace=replace,
     )
     return {"nodes": nodes_sid, "edges": edges_sid}

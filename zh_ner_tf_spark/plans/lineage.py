@@ -98,6 +98,20 @@ def run_stage_with_lineage(
     run_id = uuid.uuid4().hex
 
     if pending.limit(1).count() > 0:
+        if (
+            os.path.exists(out_dir)
+            and committed_buckets(spark, manifest_dir, stage)
+            .limit(1).count() == 0
+        ):
+            # out_dir exists but NO bucket was ever committed: it holds
+            # either the root-level empty-input marker (written below on
+            # a previous empty run) or a crashed write that predates any
+            # manifest commit — both are fully superseded by this run,
+            # and root-level files would otherwise mix with the
+            # partitioned layout and wedge every future read
+            import shutil
+
+            shutil.rmtree(out_dir)
         out = transform(pending)
         per_bucket_in = (
             pending.groupBy("_bucket").agg(F.count(F.lit(1)).alias("rows_in"))

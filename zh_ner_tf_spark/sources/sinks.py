@@ -151,15 +151,17 @@ def snapshot_append(df: DataFrame, path: str) -> int:
     )
 
 
-def snapshot_commit_dir(path: str, data_dir: str) -> int:
-    """CAS-publish an ALREADY-WRITTEN data directory as the next snapshot
-    (append semantics: the head's directory list + ``data_dir``).
-    Idempotent: if the head already references ``data_dir`` the head's id
-    is returned unchanged, so re-publishing after a crash between the
-    data write and the manifest commit is safe. This is the primitive
-    that lets the per-bucket lineage writer (plans/lineage.py) and the
-    snapshot log compose — data materializes incrementally under lineage
-    commits, visibility flips atomically here."""
+def snapshot_commit_dir(path: str, data_dir: str, replace: bool = False) -> int:
+    """CAS-publish an ALREADY-WRITTEN data directory as the next snapshot.
+    Append semantics by default (the head's directory list + ``data_dir``);
+    ``replace=True`` publishes a snapshot referencing ONLY ``data_dir``
+    (the full-rebuild shape — old snapshots stay time-travel-readable).
+    Idempotent: if the head already expresses the requested state the
+    head's id is returned unchanged, so re-publishing after a crash
+    between the data write and the manifest commit is safe. This is the
+    primitive that lets the per-bucket lineage writer (plans/lineage.py)
+    and the snapshot log compose — data materializes incrementally under
+    lineage commits, visibility flips atomically here."""
     for _ in range(_COMMIT_RETRIES):
         snaps = committed_snapshots(path)
         if snaps:
@@ -167,13 +169,13 @@ def snapshot_commit_dir(path: str, data_dir: str) -> int:
                 prev = json.load(f)["data_dirs"]
         else:
             prev = []
-        if data_dir in prev:
+        if (prev == [data_dir]) if replace else (data_dir in prev):
             return snaps[-1]
         new_id = (snaps[-1] + 1) if snaps else 1
         manifest = {
             "snapshot_id": new_id,
             "parent_id": snaps[-1] if snaps else None,
-            "data_dirs": prev + [data_dir],
+            "data_dirs": [data_dir] if replace else prev + [data_dir],
         }
         if _commit_manifest(path, new_id, manifest):
             return new_id
@@ -190,6 +192,7 @@ def snapshot_stage_with_lineage(
     key_col: str,
     n_buckets: int = 32,
     transform=None,
+    replace: bool = False,
 ) -> tuple[int, DataFrame]:
     """Unified exact-resume + time-travel write: the ONE sink the
     pipeline's node/edge tables go through.
@@ -205,7 +208,11 @@ def snapshot_stage_with_lineage(
 
     ``stage`` names one increment (e.g. one crawl batch): calling again
     with the same stage RESUMES it (idempotent once complete); a new
-    increment needs a new stage name, appending a new snapshot.
+    increment needs a new stage name, appending a new snapshot. Snapshot
+    immutability assumes increments are immutable — re-using a stage
+    name with DIFFERENT data is a contract violation (uncommitted
+    buckets pick up the new rows; in particular a published empty-input
+    snapshot is superseded in place rather than wedging the stage).
     Returns (snapshot_id, full stage output DataFrame)."""
     from zh_ner_tf_spark.plans.lineage import run_stage_with_lineage
 
@@ -215,7 +222,7 @@ def snapshot_stage_with_lineage(
         df, transform or (lambda pending: pending), spark, stage, key_col,
         data_dir, manifest_dir, n_buckets,
     )
-    sid = snapshot_commit_dir(table_path, data_dir)
+    sid = snapshot_commit_dir(table_path, data_dir, replace=replace)
     return sid, out
 
 
