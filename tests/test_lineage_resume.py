@@ -471,3 +471,69 @@ def test_materialize_graph_replace_mode_no_stale_union(spark, tmp_path):
     s3 = materialize_graph(spark, outs(25, "run2"), root, stage="job-25",
                            replace=True)
     assert s3 == {"nodes": 2, "edges": 2}
+
+
+def test_snapshot_partitioned_append_prunes_at_scan(spark, tmp_path):
+    """Hidden-partitioning emulation: a snapshot appended with
+    partition_by='warc_date' serves a warc_date predicate as a
+    PartitionFilter (pruned scan), even in a table whose OTHER
+    snapshots are unpartitioned — and rows round-trip across the mixed
+    layout."""
+    from zh_ner_tf_spark.sources.sinks import read_snapshot, snapshot_append
+
+    path = str(tmp_path / "tbl")
+    flat = spark.range(3).select(
+        F.col("id"), F.lit("2024-01-01").cast("date").alias("warc_date")
+    )
+    snapshot_append(flat, path)  # snap 1: unpartitioned
+    part = spark.range(10, 16).select(
+        F.col("id"),
+        F.when(F.col("id") < 13, F.lit("2024-01-02"))
+        .otherwise(F.lit("2024-01-03")).cast("date").alias("warc_date"),
+    )
+    snapshot_append(part, path, partition_by="warc_date")  # snap 2
+    tbl = read_snapshot(spark, path)
+    assert tbl.count() == 9
+    day = tbl.filter(F.col("warc_date") == "2024-01-02")
+    assert {r["id"] for r in day.collect()} == {10, 11, 12}
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(warc_date" in plan, plan
+
+
+def test_snapshot_expire_and_vacuum(spark, tmp_path):
+    """expire_snapshots parity: old manifests go away, shared
+    append-chain dirs survive while compaction leftovers are reclaimed,
+    the head still reads, and vacuum removes crashed-writer orphans but
+    never lineage stage dirs (a killed writer's committed buckets)."""
+    import os
+
+    from zh_ner_tf_spark.sources.sinks import (
+        committed_snapshots,
+        read_snapshot,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_expire,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(spark.range(0, 4), path)       # snap 1
+    snapshot_append(spark.range(4, 9), path)       # snap 2 (shares snap1 dir)
+    snapshot_compact(spark, path, target_partitions=1)  # snap 3: new dir only
+    # crashed writer: orphan data dir with no manifest
+    orphan = os.path.join(path, "data", "snap-deadbeef0000")
+    spark.range(100, 103).write.parquet(orphan)
+    # lineage stage dir mid-write (no snapshot yet): must survive vacuum
+    stage_dir = os.path.join(path, "data", "stage-inc9")
+    spark.range(500, 502).write.parquet(stage_dir)
+
+    res = snapshot_expire(path, keep_last=1, vacuum_orphans=True)
+    assert res["expired"] == [1, 2]
+    assert committed_snapshots(path) == [3]
+    assert {r["id"] for r in read_snapshot(spark, path).collect()} == set(range(9))
+    # pre-compaction dirs deleted, orphan vacuumed, stage dir kept
+    assert orphan in res["deleted_dirs"] and not os.path.exists(orphan)
+    assert os.path.exists(stage_dir)
+    assert len([d for d in res["deleted_dirs"] if "stage-" in d]) == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, 1)  # expired: time travel gone by design

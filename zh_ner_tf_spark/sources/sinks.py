@@ -118,7 +118,9 @@ def _commit_manifest(path: str, new_id: int, manifest: dict) -> bool:
 _COMMIT_RETRIES = 64
 
 
-def snapshot_append(df: DataFrame, path: str) -> int:
+def snapshot_append(
+    df: DataFrame, path: str, partition_by: str | None = None
+) -> int:
     """Append ``df`` as a new snapshot; returns the new snapshot id.
 
     Data lands ONCE in its own uniquely-named directory; visibility
@@ -126,11 +128,21 @@ def snapshot_append(df: DataFrame, path: str) -> int:
     list + the new directory). Concurrent appenders never clobber each
     other: the loser's exclusive-create fails and it retries with the
     next id against the refreshed parent. A writer that dies before
-    committing leaves an orphan data dir invisible to every reader."""
+    committing leaves an orphan data dir invisible to every reader.
+
+    ``partition_by`` emulates Iceberg's hidden partitioning (e.g. a
+    ``warc_date`` column from days(warc_ts)): the snapshot's directory
+    is written partitioned, and because read_snapshot reads each data
+    dir as its own scan, a predicate on the partition column prunes at
+    the scan (PartitionFilters — plan-tested) even when other snapshots
+    in the same table are unpartitioned."""
     import uuid
 
     data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(data_dir)
+    w = df.write.mode("overwrite")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.parquet(data_dir)
     for _ in range(_COMMIT_RETRIES):
         snaps = committed_snapshots(path)
         new_id = (snaps[-1] + 1) if snaps else 1
@@ -283,6 +295,58 @@ def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def snapshot_expire(
+    path: str, keep_last: int = 1, vacuum_orphans: bool = False
+) -> dict:
+    """Table maintenance (Iceberg ``expire_snapshots`` +
+    ``remove_orphan_files`` parity): drop all but the newest
+    ``keep_last`` snapshot manifests and delete the data directories no
+    surviving snapshot references. Time travel to expired ids stops
+    working (that is the point — this bounds metadata and reclaims the
+    space that compaction/replace left behind); surviving snapshots are
+    untouched, and append-chain directories shared with a survivor are
+    never deleted. ``vacuum_orphans=True`` additionally removes data
+    dirs referenced by NO manifest at all (crashed writers that died
+    before their CAS commit). Returns {"expired": ids,
+    "deleted_dirs": paths}."""
+    import shutil
+
+    snaps = committed_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    keep = snaps[-max(keep_last, 1):]
+    expired = [s for s in snaps if s not in keep]
+
+    def dirs(sid: int) -> list[str]:
+        with open(os.path.join(_snap_dir(path), f"{sid}.json")) as f:
+            return json.load(f)["data_dirs"]
+
+    keep_dirs = {d for s in keep for d in dirs(s)}
+    ref_dirs = {d for s in snaps for d in dirs(s)}
+    for s in expired:
+        os.unlink(os.path.join(_snap_dir(path), f"{s}.json"))
+    deleted = []
+    for d in sorted(ref_dirs - keep_dirs):
+        shutil.rmtree(d, ignore_errors=True)
+        deleted.append(d)
+    if vacuum_orphans:
+        data_root = os.path.join(path, "data")
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                if name.startswith("stage-"):
+                    # lineage-managed stage dirs are NOT orphans even
+                    # before their snapshot publish: a killed writer's
+                    # committed buckets live there and the next resume
+                    # needs them (deleting would silently drop the
+                    # buckets its manifest already marks committed)
+                    continue
+                full = os.path.join(data_root, name)
+                if full not in keep_dirs and full not in ref_dirs:
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(full)
+    return {"expired": expired, "deleted_dirs": deleted}
 
 
 def snapshot_diff(
