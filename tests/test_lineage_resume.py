@@ -526,7 +526,13 @@ def test_snapshot_expire_and_vacuum(spark, tmp_path):
     stage_dir = os.path.join(path, "data", "stage-inc9")
     spark.range(500, 502).write.parquet(stage_dir)
 
-    res = snapshot_expire(path, keep_last=1, vacuum_orphans=True)
+    # a fresh orphan is protected by the age guard (it may be a live
+    # appender's pre-commit dir) — nothing vacuumed at the default age
+    res0 = snapshot_expire(path, keep_last=3, vacuum_orphans=True)
+    assert res0["expired"] == [] and os.path.exists(orphan)
+    # age 0: the test's orphan is definitionally dead, vacuum it
+    res = snapshot_expire(path, keep_last=1, vacuum_orphans=True,
+                          orphan_older_than_s=0)
     assert res["expired"] == [1, 2]
     assert committed_snapshots(path) == [3]
     assert {r["id"] for r in read_snapshot(spark, path).collect()} == set(range(9))
@@ -537,3 +543,69 @@ def test_snapshot_expire_and_vacuum(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_snapshot(spark, path, 1)  # expired: time travel gone by design
+
+
+def test_expire_stage_dir_deletes_lineage_with_it(spark, tmp_path):
+    """When an expired snapshot's STAGE dir is reclaimed, its lineage
+    manifest must go with it — otherwise a later reuse of the stage name
+    sees all buckets committed, writes nothing, and silently publishes
+    an EMPTY snapshot believing the rows are in the table."""
+    import os
+
+    from zh_ner_tf_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_expire,
+        snapshot_stage_with_lineage,
+    )
+
+    path = str(tmp_path / "tbl")
+    rows = spark.range(6).select(
+        F.col("id").alias("canon_id"), F.lit("a").alias("surface")
+    )
+    snapshot_stage_with_lineage(rows, spark, path, "inc1", "canon_id", 4)
+    # full rebuild supersedes inc1 entirely
+    rows2 = spark.range(9).select(
+        F.col("id").alias("canon_id"), F.lit("b").alias("surface")
+    )
+    snapshot_stage_with_lineage(rows2, spark, path, "inc2", "canon_id", 4,
+                                replace=True)
+    res = snapshot_expire(path, keep_last=1)
+    stage1 = os.path.join(path, "data", "stage-inc1")
+    assert stage1 in res["deleted_dirs"] and not os.path.exists(stage1)
+    assert not os.path.exists(os.path.join(path, "lineage", "inc1"))
+    # re-using the stage name RECOMPUTES instead of publishing empty
+    sid, out = snapshot_stage_with_lineage(rows, spark, path, "inc1",
+                                           "canon_id", 4)
+    assert out.count() == 6
+    assert read_snapshot(spark, path).count() == 9 + 6
+
+
+def test_partitioned_snapshot_preserves_string_keys_and_compaction(spark, tmp_path):
+    """Partition values survive the directory-name round trip: a string
+    key '0123' must NOT come back as bigint 123 (type recorded in the
+    sidecar, inference disabled), and compaction preserves the partition
+    layout instead of silently flattening it."""
+    from zh_ner_tf_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    flat = spark.createDataFrame([(1, "0123"), (2, "9aa")], "id long, zone string")
+    snapshot_append(flat, path)
+    part = spark.createDataFrame(
+        [(10, "0123"), (11, "0456")], "id long, zone string"
+    )
+    snapshot_append(part, path, partition_by="zone")
+    tbl = read_snapshot(spark, path)
+    assert dict(tbl.dtypes)["zone"] == "string"
+    assert {r["zone"] for r in tbl.collect()} == {"0123", "9aa", "0456"}
+    sid = snapshot_compact(spark, path, target_partitions=1)
+    after = read_snapshot(spark, path, sid)
+    assert {(r["id"], r["zone"]) for r in after.collect()} == {
+        (1, "0123"), (2, "9aa"), (10, "0123"), (11, "0456")
+    }
+    day = after.filter(F.col("zone") == "0123")
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(zone" in plan, plan

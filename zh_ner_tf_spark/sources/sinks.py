@@ -135,7 +135,10 @@ def snapshot_append(
     is written partitioned, and because read_snapshot reads each data
     dir as its own scan, a predicate on the partition column prunes at
     the scan (PartitionFilters — plan-tested) even when other snapshots
-    in the same table are unpartitioned."""
+    in the same table are unpartitioned. The partition column's TRUE
+    type is recorded in a ``_partition_meta.json`` sidecar and restored
+    on read with directory-name type inference disabled — otherwise a
+    string key like '0123' silently reads back as bigint 123."""
     import uuid
 
     data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
@@ -143,6 +146,9 @@ def snapshot_append(
     if partition_by is not None:
         w = w.partitionBy(partition_by)
     w.parquet(data_dir)
+    if partition_by is not None:
+        _write_partition_meta(data_dir, partition_by,
+                              df.schema[partition_by].dataType.simpleString())
     for _ in range(_COMMIT_RETRIES):
         snaps = committed_snapshots(path)
         new_id = (snaps[-1] + 1) if snaps else 1
@@ -246,20 +252,40 @@ def snapshot_compact(
     ``target_partitions`` files and commit a snapshot referencing ONLY
     the compacted directory. Old snapshots stay readable (time travel);
     at crawl scale this is the small-file maintenance pass that keeps
-    scan task counts sane after many incremental appends."""
+    scan task counts sane after many incremental appends. A partition
+    layout declared by the head's dirs (``_partition_meta.json``
+    sidecars, all agreeing) is PRESERVED through the rewrite — Iceberg's
+    rewrite_data_files keeps the partition spec, and silently flattening
+    would break every downstream partition-pruned read."""
     import uuid
 
     snaps = committed_snapshots(path)
     if not snaps:
         raise FileNotFoundError(f"no committed snapshots under {path}")
     base = snaps[-1]
+    with open(os.path.join(_snap_dir(path), f"{base}.json")) as f:
+        base_dirs = json.load(f)["data_dirs"]
+    part_metas = []
+    for d in base_dirs:
+        mp = os.path.join(d, _PARTITION_META)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                part_metas.append(json.load(f))
+    part = None
+    if part_metas and all(m == part_metas[0] for m in part_metas):
+        part = part_metas[0]
     cur = read_snapshot(spark, path, base)
     if target_partitions is None:
         target_partitions = max(
             1, spark.sparkContext.defaultParallelism
         )
     data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
-    cur.repartition(target_partitions).write.mode("overwrite").parquet(data_dir)
+    w = cur.repartition(target_partitions).write.mode("overwrite")
+    if part is not None:
+        w = w.partitionBy(part["col"])
+    w.parquet(data_dir)
+    if part is not None:
+        _write_partition_meta(data_dir, part["col"], part["type"])
     new_id = base + 1
     manifest = {
         "snapshot_id": new_id,
@@ -278,19 +304,50 @@ def snapshot_compact(
     return new_id
 
 
+_PARTITION_META = "_partition_meta.json"
+
+
+def _write_partition_meta(data_dir: str, col: str, type_str: str) -> None:
+    """Sidecar recording a partitioned dir's partition column and TRUE
+    type (underscore-prefixed: invisible to parquet readers)."""
+    with open(os.path.join(data_dir, _PARTITION_META), "w") as f:
+        json.dump({"col": col, "type": type_str}, f)
+
+
 def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
     """Read a snapshot's data directories. Directories written by the
     lineage writer are bucket-partitioned — a ``_bucket`` partition
     column Spark refuses to merge with unpartitioned sibling dirs in one
     multi-path read, and which is commit bookkeeping, not table data —
     so each dir is read separately, the reserved ``_bucket`` column is
-    dropped, and the parts are unioned by name."""
+    dropped, and the parts are unioned by name.
+
+    Partitioned snapshot dirs read with directory-name type INFERENCE
+    DISABLED and the partition column cast back to the type recorded in
+    the dir's sidecar: inference would coerce a string key '0123' to
+    bigint 123 (losing the leading zero) and then fail or corrupt the
+    union against flat snapshots carrying the true string column. The
+    session conf is toggled around the reads (single-driver engine)."""
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    saved = spark.conf.get(conf_key, "true")
     parts = []
-    for d in dirs:
-        df = spark.read.parquet(d)
-        if "_bucket" in df.columns:
-            df = df.drop("_bucket")
-        parts.append(df)
+    try:
+        spark.conf.set(conf_key, "false")
+        for d in dirs:
+            df = spark.read.parquet(d)
+            if "_bucket" in df.columns:
+                df = df.drop("_bucket")
+            meta_path = os.path.join(d, _PARTITION_META)
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if meta["col"] in df.columns:
+                    df = df.withColumn(
+                        meta["col"], F.col(meta["col"]).cast(meta["type"])
+                    )
+            parts.append(df)
+    finally:
+        spark.conf.set(conf_key, saved)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -298,7 +355,10 @@ def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
 
 
 def snapshot_expire(
-    path: str, keep_last: int = 1, vacuum_orphans: bool = False
+    path: str,
+    keep_last: int = 1,
+    vacuum_orphans: bool = False,
+    orphan_older_than_s: float = 24 * 3600,
 ) -> dict:
     """Table maintenance (Iceberg ``expire_snapshots`` +
     ``remove_orphan_files`` parity): drop all but the newest
@@ -307,11 +367,27 @@ def snapshot_expire(
     working (that is the point — this bounds metadata and reclaims the
     space that compaction/replace left behind); surviving snapshots are
     untouched, and append-chain directories shared with a survivor are
-    never deleted. ``vacuum_orphans=True`` additionally removes data
-    dirs referenced by NO manifest at all (crashed writers that died
-    before their CAS commit). Returns {"expired": ids,
-    "deleted_dirs": paths}."""
+    never deleted.
+
+    ``vacuum_orphans=True`` additionally removes data dirs referenced by
+    NO manifest at all (crashed writers that died before their CAS
+    commit) — but ONLY dirs older than ``orphan_older_than_s`` (Iceberg's
+    remove_orphan_files ``older_than`` guard): a live appender's freshly
+    written dir is indistinguishable from an orphan until its manifest
+    commit lands, so vacuuming young dirs would race concurrent writers
+    and destroy their data. Manifest paths are realpath-normalized
+    before comparison so a different spelling of the table path (./tbl
+    vs tbl vs absolute) can never misclassify committed data as orphans.
+    Lineage ``stage-*`` dirs are never vacuumed directly; when an
+    EXPIRED snapshot was a stage dir's only reference, the stage's
+    lineage manifest is deleted along with its data so a later reuse of
+    the stage name recomputes instead of silently publishing empty.
+
+    Idempotent and safe to re-run: already-missing manifests/dirs are
+    skipped. Returns {"expired": ids, "deleted_dirs": paths actually
+    removed}."""
     import shutil
+    import time
 
     snaps = committed_snapshots(path)
     if not snaps:
@@ -323,29 +399,51 @@ def snapshot_expire(
         with open(os.path.join(_snap_dir(path), f"{sid}.json")) as f:
             return json.load(f)["data_dirs"]
 
-    keep_dirs = {d for s in keep for d in dirs(s)}
-    ref_dirs = {d for s in snaps for d in dirs(s)}
+    rp = os.path.realpath
+    keep_dirs = {rp(d) for s in keep for d in dirs(s)}
+    expired_dirs = {rp(d) for s in expired for d in dirs(s)}
     for s in expired:
-        os.unlink(os.path.join(_snap_dir(path), f"{s}.json"))
+        try:
+            os.unlink(os.path.join(_snap_dir(path), f"{s}.json"))
+        except FileNotFoundError:
+            pass  # concurrent/prior expire already removed it
     deleted = []
-    for d in sorted(ref_dirs - keep_dirs):
-        shutil.rmtree(d, ignore_errors=True)
-        deleted.append(d)
+
+    def _remove(full: str) -> None:
+        shutil.rmtree(full, ignore_errors=True)
+        if not os.path.exists(full):  # report only real deletions
+            deleted.append(full)
+
+    for d in sorted(expired_dirs - keep_dirs):
+        base = os.path.basename(d)
+        if base.startswith("stage-"):
+            # the stage's lineage manifest must die WITH its data:
+            # leaving it would make a later same-stage call see every
+            # bucket committed, write nothing, and publish an empty
+            # snapshot while believing the rows are in the table
+            lineage_dir = os.path.join(
+                rp(path), "lineage", base[len("stage-"):]
+            )
+            shutil.rmtree(lineage_dir, ignore_errors=True)
+        _remove(d)
     if vacuum_orphans:
         data_root = os.path.join(path, "data")
+        now = time.time()
         if os.path.isdir(data_root):
             for name in sorted(os.listdir(data_root)):
                 if name.startswith("stage-"):
-                    # lineage-managed stage dirs are NOT orphans even
-                    # before their snapshot publish: a killed writer's
-                    # committed buckets live there and the next resume
-                    # needs them (deleting would silently drop the
-                    # buckets its manifest already marks committed)
+                    # pre-publish stage dirs hold a killed writer's
+                    # committed resume buckets — never orphans
                     continue
-                full = os.path.join(data_root, name)
-                if full not in keep_dirs and full not in ref_dirs:
-                    shutil.rmtree(full, ignore_errors=True)
-                    deleted.append(full)
+                full = rp(os.path.join(data_root, name))
+                if full in keep_dirs or full in expired_dirs:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age >= orphan_older_than_s:
+                    _remove(full)
     return {"expired": expired, "deleted_dirs": deleted}
 
 
