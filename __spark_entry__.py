@@ -1065,6 +1065,37 @@ def q_approx_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(*cols)
 
 
+def q_heavy_hitters_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via freqItems (Karp/Misra-Gries family — the
+    streaming-sketch answer to "which keys dominate" at crawl scale,
+    one pass, bounded memory). The guarantee is one-sided: every item
+    with frequency > support*n MUST be in the result (false positives
+    allowed), so the gate emits the EXACT heavy hitters (o_orderstatus
+    above support 0.2 — 'O'/'F' at ~49% each; 'P' at ~2% excluded) with
+    a per-row found-in-sketch flag the oracle pins to 1."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("c"))
+    hh = (
+        agg.withColumn("tot", F.sum("c").over(Window.partitionBy()))
+        .filter(F.col("c") > 0.2 * F.col("tot"))
+        .select(F.col("o_orderstatus").alias("k"))
+    )
+    fi = (
+        o.stat.freqItems(["o_orderstatus"], 0.2)
+        .select(F.explode("o_orderstatus_freqItems").alias("fk"))
+    )
+    return (
+        hh.join(F.broadcast(fi), hh["k"] == fi["fk"], "left")
+        .select(
+            "k",
+            F.when(F.col("fk").isNotNull(), 1).otherwise(0)
+            .cast("bigint").alias("found"),
+        )
+    )
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the non-hierarchical variant beside CUBE
     and ROLLUP): per-status totals, per-priority totals, and the grand
@@ -1250,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their rotation in; ALL are gated locally every round by
         # tests/test_entry_contract.py ---
         "approx_quantiles_orders": q_approx_quantiles_orders,
+        "heavy_hitters_status": q_heavy_hitters_status,
         "filter_pushdown_scan": q_filter_pushdown_scan,
         "orders_by_month": q_orders_by_month,
         "events_by_type": q_events_by_type,
@@ -2211,6 +2243,15 @@ FROM documents
     # `percentile` both use the R-7 definition (value at rank (n-1)*q,
     # linear interpolation); the in-bound flags are pinned TRUE — the
     # sketch's rank-error guarantee is the gated property
+    # exact heavy hitters; the sketch's one-sided inclusion guarantee
+    # (every item above support MUST appear) is the pinned flag
+    fam_sqls["heavy_hitters_status"] = """
+WITH c AS (
+  SELECT o_orderstatus AS k, count(*) AS cnt FROM orders GROUP BY 1
+), t AS (SELECT sum(cnt) AS tot FROM c)
+SELECT k, 1::BIGINT AS found FROM c, t WHERE cnt > 0.2 * tot
+"""
+
     fam_sqls["approx_quantiles_orders"] = """
 WITH c AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
