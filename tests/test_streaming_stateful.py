@@ -278,3 +278,12 @@ def test_stream_dedup_groups_match_batch(spark, tmp_path):
     }
     assert last == want
     assert want[None] == (1000, 2)  # NULL-text group pinned
+    # the declared batch twin (the driver-row frame, stream_dedup_totals)
+    # pins the SAME final-state mapping — stream == twin == dedup groups
+    from zh_ner_tf_spark.streaming.stateful import stream_dedup_totals_batch
+
+    twin = {
+        r["content_hash"]: (r["keep_id"], r["n_dups"])
+        for r in stream_dedup_totals_batch(docs).collect()
+    }
+    assert twin == want

@@ -481,6 +481,27 @@ def snapshot_diff(
     return _read_dirs(spark, new_dirs)
 
 
+def snapshot_row_count(path: str, snapshot_id: int | None = None) -> int:
+    """Row count of a snapshot from parquet FOOTER metadata — no Spark
+    job (Iceberg's manifest ``total-records`` analog). This is the
+    metadata source adaptive operators use for corpus size (SRP band
+    family, IVF codebook — operators/similarity.py) when the corpus
+    lives in a snapshot table: an extra full-scan ``count()`` per ANN
+    call is a whole wasted job at 10^9 rows, while the footers already
+    know."""
+    from zh_ner_tf_spark.sources.tables import parquet_dir_row_count
+
+    snaps = committed_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    sid = snaps[-1] if snapshot_id is None else snapshot_id
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in {snaps}")
+    with open(os.path.join(_snap_dir(path), f"{sid}.json")) as f:
+        dirs = json.load(f)["data_dirs"]
+    return sum(parquet_dir_row_count(d) for d in dirs)
+
+
 def read_snapshot(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:

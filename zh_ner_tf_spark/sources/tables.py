@@ -11,6 +11,8 @@ and pushes predicates into the scan (verified by tests/test_plans.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from zh_ner_tf_spark.config import TESTDATA_TABLES
@@ -20,3 +22,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def parquet_dir_row_count(path: str) -> int:
+    """Row count from parquet FOOTER metadata — zero Spark jobs, zero
+    data reads. ``path`` may be a single parquet file or a directory
+    tree of part files (footers are summed). This is how adaptive
+    parameter resolution (SRP band family, IVF codebook size) learns the
+    corpus size without an extra full-scan ``count()`` action per call:
+    at 10^9 embeddings that count is a whole extra job on the hot path,
+    while every parquet footer already carries num_rows (and an Iceberg
+    snapshot carries the same in its manifest — see
+    sinks.snapshot_row_count for the table-format path)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Footer-metadata row count of a testdata table (no Spark job)."""
+    if name not in TESTDATA_TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    return parquet_dir_row_count(f"{sf_dir.rstrip('/')}/{name}.parquet")

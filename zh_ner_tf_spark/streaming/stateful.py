@@ -145,3 +145,22 @@ def stream_dedup_groups(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_totals_batch(docs: DataFrame) -> DataFrame:
+    """The batch twin of stream_dedup_groups' FINAL state — the frame
+    the multi-batch streaming equivalence test pins against, and the
+    driver-oracle surface for the streaming operator (same schema and
+    column order as the stream's emissions: content_hash, keep_id,
+    n_dups). One map-side-combinable groupBy on the 32-byte digest; the
+    document body never shuffles."""
+    return (
+        docs.select(
+            F.md5(F.col("text")).alias("content_hash"), F.col("doc_id")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
