@@ -341,6 +341,45 @@ def run_triples_stage_profiled(spark, pages, weights, word2id) -> dict:
     }
 
 
+def ann_density(spark, sf_dir: str) -> dict:
+    """Candidate-density report for the SRP ANN path (VERDICT r4 item 4):
+    how many band-collision candidates each query rescans. The adaptive
+    band family (srp_params over the FOOTER row count — no count() job)
+    is the knob; candidates_per_query is what it bounds at crawl scale."""
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.operators.similarity import (
+        _hyperplanes, _srp_bands, srp_params,
+    )
+    from zh_ner_tf_spark.sources.tables import load_table, table_row_count
+
+    n = table_row_count(sf_dir, "embeddings")
+    bits, bands = srp_params(n)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    planes = _hyperplanes(dim, bits)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_queries = qdf.count()
+    qb = F.broadcast(
+        _srp_bands(qdf, "query_id", "embedding", planes, bits, bands, "qid")
+    )
+    cb = _srp_bands(emb, "vec_id", "embedding", planes, bits, bands, "cid")
+    n_cands = (
+        qb.join(cb, ["band_id", "band_value"])
+        .dropDuplicates(["qid", "cid"]).count()
+    )
+    return {
+        "corpus_rows": n,
+        "n_bits": bits,
+        "n_bands": bands,
+        "n_queries": n_queries,
+        "candidates": n_cands,
+        "candidates_per_query": round(n_cands / max(n_queries, 1), 2),
+    }
+
+
 def near_dup_density(spark, sf_dir: str) -> dict:
     """Candidate-density report for the SRP near-dup path: how many
     band-collision candidates the LSH generates per surviving near-dup
@@ -457,6 +496,7 @@ def main() -> None:
     result["tagger_all_reps_cps"] = [r["chars_per_sec"] for r in tg_runs]
     result["tagger_chars_per_sec"] = tg["chars_per_sec"]
     result["embedding_near_dup_density"] = near_dup_density(spark, SF_DIR)
+    result["ann_density"] = ann_density(spark, SF_DIR)
     spark.stop()
 
     if RUN_SCALING:
@@ -613,7 +653,74 @@ def main() -> None:
             result["data_scaling"] = ds
         _write_baseline_md(result)
 
-    print(json.dumps(result))
+    print(json.dumps(_stdout_summary(result)))
+
+
+def _stdout_summary(result: dict) -> dict:
+    """The ONE-line stdout JSON, kept SMALL enough for the driver's
+    parse buffer (BENCH_r04 recorded `"parsed": null` because the full
+    nested result — per-stage samples, per-rep runs — overflowed it and
+    only a tail fragment survived). The full result lands in
+    BENCH/full_result.json; stdout carries the headline metric, per-query
+    seconds, the scaling-efficiency summary, and the run-history band
+    (this shared host swings >4x run to run — a single recorded window
+    without the band misreads as a regression, VERDICT r4 item 3)."""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/full_result.json", "w") as f:
+        json.dump(result, f, indent=1)
+    out = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "sf", "queries")
+        if k in result
+    }
+    for k in ("value_median", "triples_per_sec", "triples_stage_per_sec",
+              "tagger_chars_per_sec"):
+        if result.get(k) is not None:
+            out[k] = result[k]
+    s = result.get("scaling")
+    if s:
+        c = s.get("hardware_ceiling", {})
+        out["scaling"] = {
+            "efficiency_kg_pipeline": s.get("efficiency_kg_pipeline"),
+            "efficiency_tagger": s.get("efficiency_tagger"),
+            "per_rep_efficiency": s.get("per_rep_efficiency"),
+            "alu_ceiling": c.get("ceiling_efficiency"),
+            "gemm_ceiling": c.get("gemm_ceiling_efficiency"),
+            "efficiency_vs_ceiling": s.get("efficiency_vs_ceiling"),
+            "efficiency_vs_gemm_ceiling": s.get("efficiency_vs_gemm_ceiling"),
+            "local8_tps": s["local8"]["kg_pipeline"]["triples_per_sec"],
+            "local32_tps": s["local32"]["kg_pipeline"]["triples_per_sec"],
+            "local8_cps": s["local8"]["tagger"]["chars_per_sec"],
+            "local32_cps": s["local32"]["tagger"]["chars_per_sec"],
+        }
+    out["densities"] = {
+        "near_dup_candidates_per_result": result.get(
+            "embedding_near_dup_density", {}
+        ).get("candidates_per_result"),
+        "ann_candidates_per_query": result.get("ann_density", {}).get(
+            "candidates_per_query"
+        ),
+    }
+    # the last runs' time-local efficiencies: the band a single recorded
+    # window must be read against
+    band = []
+    try:
+        with open("BENCH/history.jsonl") as f:
+            for ln in f:
+                try:
+                    h = json.loads(ln)
+                except ValueError:
+                    continue
+                band.append({
+                    "kg": h.get("eff_kg_per_rep_best"),
+                    "tag": h.get("eff_tagger_per_rep_best"),
+                    "headline": h.get("headline_sec"),
+                })
+    except OSError:
+        pass
+    out["history_band_last8"] = band[-8:]
+    out["detail"] = "BENCH/full_result.json"
+    return out
 
 
 def _append_history(result: dict) -> list[str]:
@@ -634,6 +741,8 @@ def _append_history(result: dict) -> list[str]:
         "eff_tagger_per_rep_best": s.get("per_rep_efficiency", {}).get("tagger_best"),
         "gemm_ceiling": s.get("hardware_ceiling", {}).get("gemm_ceiling_efficiency"),
         "near_dup_density": result.get("embedding_near_dup_density", {}).get("candidates_per_result"),
+        "ann_density": result.get("ann_density", {}).get("candidates_per_query"),
+        "ann_topk_best": result.get("queries", {}).get("ann_topk"),
         "kg_median_tps_32": s.get("local32", {}).get("kg_pipeline_median_tps"),
         "tagger_median_cps_32": s.get("local32", {}).get("tagger_median_cps"),
         "ceiling": s.get("hardware_ceiling", {}).get("ceiling_efficiency"),
@@ -798,13 +907,17 @@ def _write_baseline_md(result: dict) -> None:
         f"KG pipeline: {json.dumps(result.get('kg_pipeline'))}",
         f"Tagger full-size: {json.dumps(result.get('tagger_fullsize'))}",
         "",
-        "## SRP near-dup candidate density (adaptive band family)",
+        "## SRP candidate density (adaptive band family)",
         "",
-        f"`{json.dumps(result.get('embedding_near_dup_density'))}`",
+        f"near-dup: `{json.dumps(result.get('embedding_near_dup_density'))}`",
         "",
-        "candidates_per_result is the LSH selectivity knob: srp_params",
-        "widens bands as the corpus grows so this ratio stays bounded",
-        "(a fixed 4-bit band would send it to ~corpus/16 per band).",
+        f"ann: `{json.dumps(result.get('ann_density'))}`",
+        "",
+        "candidates_per_result / candidates_per_query are the LSH",
+        "selectivity knobs: srp_params widens bands as the corpus grows so",
+        "these ratios stay bounded (a fixed 4-bit band would send them to",
+        "~corpus/16 per band). The family resolves from parquet FOOTER row",
+        "counts — no extra count() job on the ANN hot path.",
     ]
     lines += _append_history(result)
     with open("BENCH/BASELINE.md", "w") as f:

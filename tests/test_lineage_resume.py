@@ -496,8 +496,16 @@ def test_snapshot_partitioned_append_prunes_at_scan(spark, tmp_path):
     assert tbl.count() == 9
     day = tbl.filter(F.col("warc_date") == "2024-01-02")
     assert {r["id"] for r in day.collect()} == {10, 11, 12}
+    # per-subdir snapshot reads (no session-conf toggling) surface
+    # pruning as PLAN-TIME branch elimination: the partition column is a
+    # literal per subdir scan, so Catalyst constant-folds the predicate
+    # and drops the non-matching day's scan from the plan entirely —
+    # stronger than a runtime PartitionFilter. The filtered plan keeps
+    # only the flat snap-1 scan + the matching day; unfiltered keeps all 3.
     plan = day._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(warc_date" in plan, plan
+    assert plan.count("FileScan") == 2, plan
+    full_plan = tbl._jdf.queryExecution().executedPlan().toString()
+    assert full_plan.count("FileScan") == 3, full_plan
 
 
 def test_snapshot_expire_and_vacuum(spark, tmp_path):
@@ -580,6 +588,111 @@ def test_expire_stage_dir_deletes_lineage_with_it(spark, tmp_path):
     assert read_snapshot(spark, path).count() == 9 + 6
 
 
+def test_inplace_rewrite_commits_new_snapshot_and_poisons_diff(spark, tmp_path):
+    """ADVICE r4: snapshot_commit_dir must NOT treat an in-place
+    REWRITTEN data dir as idempotent — the content fingerprint recorded
+    in the manifest detects the rewrite, a new snapshot id is committed,
+    and snapshot_diff across the rewrite refuses (it would silently miss
+    the changed rows)."""
+    import os
+
+    import pytest as _pytest
+
+    from zh_ner_tf_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_commit_dir,
+        snapshot_diff,
+        snapshot_row_count,
+    )
+
+    path = str(tmp_path / "tbl")
+    d = os.path.join(path, "data", "stage-x")
+    spark.range(3).write.mode("overwrite").parquet(d)
+    sid1 = snapshot_commit_dir(path, d)
+    # unchanged dir: idempotent re-publish returns the head id
+    assert snapshot_commit_dir(path, d) == sid1
+    assert snapshot_row_count(path) == 3
+    # the documented empty-then-nonempty supersede shape: same dir,
+    # different content
+    spark.range(10).write.mode("overwrite").parquet(d)
+    sid2 = snapshot_commit_dir(path, d)
+    assert sid2 == sid1 + 1  # NOT silently the old head
+    assert read_snapshot(spark, path, sid2).count() == 10
+    assert snapshot_row_count(path, sid2) == 10
+    with _pytest.raises(ValueError, match="rewritten in place"):
+        snapshot_diff(spark, path, sid1, sid2)
+
+
+def test_ann_family_from_snapshot_metadata(spark, tmp_path):
+    """VERDICT r4 item 2 sealed end-to-end: the adaptive SRP family
+    resolves corpus size from SNAPSHOT metadata (parquet footers summed
+    over the manifest's dirs — no count() job) and yields the identical
+    ANN result to the live-count fallback."""
+    from zh_ner_tf_spark.operators.similarity import ann_topk
+    from zh_ner_tf_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_row_count,
+    )
+    from zh_ner_tf_spark.sources.tables import load_table, table_row_count
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "embtbl")
+    snapshot_append(emb, path)
+    tbl = read_snapshot(spark, path)
+    n_meta = snapshot_row_count(path)
+    assert n_meta == emb.count()
+    assert table_row_count("/root/testdata/sf0.001", "embeddings") == n_meta
+    q = tbl.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ann_topk(tbl, q, k=5, n_rows=n_meta).collect()
+    b = ann_topk(tbl, q, k=5).collect()  # live-count fallback
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert [tuple(r) for r in sorted(a, key=key)] == [
+        tuple(r) for r in sorted(b, key=key)
+    ]
+
+
+def test_stage_rmtree_guard_refuses_unowned_dirs(spark, tmp_path):
+    """ADVICE r4: run_stage_with_lineage's supersede rmtree must refuse
+    a dir whose sidecar names a DIFFERENT manifest dir (wrong pairing
+    would delete live data) or that carries no ownership sidecar at all."""
+    import os
+
+    import pytest as _pytest
+
+    from zh_ner_tf_spark.plans.lineage import run_stage_with_lineage
+
+    out_dir = str(tmp_path / "out")
+    # a live, snapshot-referenced-looking dir NOT written by the lineage
+    # writer: no sidecar -> refused, data intact
+    spark.range(5).write.parquet(out_dir)
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="no _stage_sidecar"):
+        run_stage_with_lineage(
+            df, lambda p: p, spark, "s1", "k",
+            out_dir, str(tmp_path / "manifest_s1"), 4,
+        )
+    assert spark.read.parquet(out_dir).count() == 5
+    # a dir owned by manifest A, resumed with a respelled manifest B
+    # while B shows zero committed buckets -> refused, data intact
+    out2 = str(tmp_path / "out2")
+    run_stage_with_lineage(
+        df, lambda p: p, spark, "s2", "k", out2, str(tmp_path / "mA"), 4
+    )
+    with _pytest.raises(ValueError, match="wrong .* pairing"):
+        run_stage_with_lineage(
+            df, lambda p: p, spark, "s2", "k", out2, str(tmp_path / "mB"), 4
+        )
+    assert spark.read.parquet(out2).count() == 4
+    # the RIGHT pairing still resumes idempotently
+    got = run_stage_with_lineage(
+        df, lambda p: p, spark, "s2", "k", out2, str(tmp_path / "mA"), 4
+    )
+    assert got.count() == 4
+
+
 def test_partitioned_snapshot_preserves_string_keys_and_compaction(spark, tmp_path):
     """Partition values survive the directory-name round trip: a string
     key '0123' must NOT come back as bigint 123 (type recorded in the
@@ -607,5 +720,10 @@ def test_partitioned_snapshot_preserves_string_keys_and_compaction(spark, tmp_pa
         (1, "0123"), (2, "9aa"), (10, "0123"), (11, "0456")
     }
     day = after.filter(F.col("zone") == "0123")
+    # compacted dir is partitioned into 3 zone subdirs, each its own
+    # scan branch; the zone predicate constant-folds the other two away
+    # at plan time (see the pruning comment in the append test above)
     plan = day._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(zone" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    full_plan = after._jdf.queryExecution().executedPlan().toString()
+    assert full_plan.count("FileScan") == 3, full_plan

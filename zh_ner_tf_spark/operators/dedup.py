@@ -19,6 +19,7 @@ Scale notes per variant:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -231,11 +232,10 @@ def gram_hashes_udf(n: int, distinct: bool = True):
     hashes (spec: _gram_hashes_np; execution: _gram_hashes_batch, one
     segmented pass per Arrow batch) — distinct set by default, positional
     order with ``distinct=False`` (the winnowing input)."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
-    def _grams(texts):
+    @pandas_udf("array<bigint>")
+    def _grams(texts: pd.Series) -> pd.Series:
         return pd.Series(_gram_hashes_batch(texts, n, distinct), dtype=object)
 
     return _grams

@@ -79,6 +79,45 @@ def resume_filter(
     return with_bucket.join(F.broadcast(done), "_bucket", "left_anti")
 
 
+_STAGE_SIDECAR = "_stage_sidecar.json"
+
+
+def _write_stage_sidecar(out_dir: str, manifest_dir: str, stage: str) -> None:
+    """Sidecar pairing an output directory with ITS manifest directory
+    (underscore-prefixed: invisible to parquet readers). Written before
+    the data lands so any directory this writer created names its owner."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _STAGE_SIDECAR), "w") as f:
+        json.dump(
+            {"manifest_dir": os.path.realpath(manifest_dir), "stage": stage}, f
+        )
+
+
+def _check_stage_sidecar(out_dir: str, manifest_dir: str, stage: str) -> None:
+    """Refuse to delete a directory this (out_dir, manifest_dir) pairing
+    does not own. run_stage_with_lineage takes the two paths
+    independently, so a caller passing a wrong/respelled manifest_dir
+    would see zero committed buckets and rmtree LIVE, snapshot-referenced
+    data (ADVICE r4) — the sidecar written at data-write time is the
+    ownership proof the delete requires."""
+    sidecar = os.path.join(out_dir, _STAGE_SIDECAR)
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"refusing to delete {out_dir}: no {_STAGE_SIDECAR} pairing it "
+            f"with a lineage manifest dir — it was not written by "
+            f"run_stage_with_lineage (or predates the sidecar); remove it "
+            f"manually if it is really a superseded stage dir"
+        )
+    with open(sidecar) as f:
+        meta = json.load(f)
+    if meta.get("manifest_dir") != os.path.realpath(manifest_dir):
+        raise ValueError(
+            f"refusing to delete {out_dir}: its sidecar names manifest dir "
+            f"{meta.get('manifest_dir')!r}, not {os.path.realpath(manifest_dir)!r} "
+            f"— wrong (out_dir, manifest_dir) pairing"
+        )
+
+
 def run_stage_with_lineage(
     df: DataFrame,
     transform,
@@ -108,14 +147,23 @@ def run_stage_with_lineage(
             # a previous empty run) or a crashed write that predates any
             # manifest commit — both are fully superseded by this run,
             # and root-level files would otherwise mix with the
-            # partitioned layout and wedge every future read
+            # partitioned layout and wedge every future read. The
+            # sidecar check guards against the delete firing on a dir
+            # this stage does NOT own (wrong manifest_dir pairing).
             import shutil
 
+            _check_stage_sidecar(out_dir, manifest_dir, stage)
             shutil.rmtree(out_dir)
         out = transform(pending)
         per_bucket_in = (
             pending.groupBy("_bucket").agg(F.count(F.lit(1)).alias("rows_in"))
         )
+        # ownership sidecar BEFORE the data write: dynamic partition
+        # overwrite never truncates the base dir, so the sidecar
+        # survives, and a writer killed mid-parquet-write leaves a dir
+        # that still names its manifest (the resume path's rmtree guard
+        # accepts it instead of wedging)
+        _write_stage_sidecar(out_dir, manifest_dir, stage)
         (
             out.write.mode("overwrite")
             .partitionBy("_bucket")
@@ -148,8 +196,10 @@ def run_stage_with_lineage(
         # first call with an EMPTY input: nothing pending and nothing
         # ever written — materialize an empty, schema-carrying output so
         # the read-back (and any snapshot publish of this directory)
-        # sees a valid empty table instead of failing on a missing path
+        # sees a valid empty table instead of failing on a missing path.
+        # Sidecar AFTER this write (plain overwrite truncates the dir).
         transform(pending).write.mode("overwrite").parquet(out_dir)
+        _write_stage_sidecar(out_dir, manifest_dir, stage)
     return spark.read.parquet(out_dir)
 
 

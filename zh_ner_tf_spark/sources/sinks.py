@@ -136,9 +136,10 @@ def snapshot_append(
     dir as its own scan, a predicate on the partition column prunes at
     the scan (PartitionFilters — plan-tested) even when other snapshots
     in the same table are unpartitioned. The partition column's TRUE
-    type is recorded in a ``_partition_meta.json`` sidecar and restored
-    on read with directory-name type inference disabled — otherwise a
-    string key like '0123' silently reads back as bigint 123."""
+    type is recorded in a ``_partition_meta.json`` sidecar; read_snapshot
+    re-attaches it per subdirectory as a typed literal (no directory-name
+    type inference anywhere) — otherwise a string key like '0123'
+    silently reads back as bigint 123."""
     import uuid
 
     data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
@@ -169,31 +170,73 @@ def snapshot_append(
     )
 
 
+def _dir_fingerprint(data_dir: str) -> str:
+    """Content fingerprint of a data directory: md5 over the sorted
+    (relative path, size) listing. Cheap (no data reads) and sufficient
+    to detect the in-place-rewrite shapes this store produces (a
+    rewritten parquet file virtually never keeps byte-identical size
+    AND identical part-file name, which embeds a task UUID)."""
+    import hashlib
+
+    entries = []
+    for root, _dirs, files in os.walk(data_dir):
+        for f in sorted(files):
+            full = os.path.join(root, f)
+            try:
+                entries.append(
+                    (os.path.relpath(full, data_dir), os.path.getsize(full))
+                )
+            except OSError:
+                continue  # file vanished mid-walk (concurrent cleanup)
+    entries.sort()
+    return hashlib.md5(json.dumps(entries).encode()).hexdigest()
+
+
 def snapshot_commit_dir(path: str, data_dir: str, replace: bool = False) -> int:
     """CAS-publish an ALREADY-WRITTEN data directory as the next snapshot.
     Append semantics by default (the head's directory list + ``data_dir``);
     ``replace=True`` publishes a snapshot referencing ONLY ``data_dir``
     (the full-rebuild shape — old snapshots stay time-travel-readable).
-    Idempotent: if the head already expresses the requested state the
-    head's id is returned unchanged, so re-publishing after a crash
-    between the data write and the manifest commit is safe. This is the
-    primitive that lets the per-bucket lineage writer (plans/lineage.py)
-    and the snapshot log compose — data materializes incrementally under
-    lineage commits, visibility flips atomically here."""
+    Idempotent: if the head already expresses the requested state AND the
+    directory's content fingerprint matches the one the head recorded,
+    the head's id is returned unchanged, so re-publishing after a crash
+    between the data write and the manifest commit is safe. A CHANGED
+    fingerprint (the documented empty-then-nonempty stage supersede
+    rewrites a stage dir in place) commits a NEW snapshot instead of
+    silently returning the head (ADVICE r4) — the table history records
+    the rewrite and snapshot_diff refuses to diff across it. Time travel
+    to a pre-rewrite id over an in-place-rewritten dir still reads the
+    new bytes (inherent to rewriting a shared directory; real Iceberg
+    avoids it by never rewriting files in place). This is the primitive
+    that lets the per-bucket lineage writer (plans/lineage.py) and the
+    snapshot log compose — data materializes incrementally under lineage
+    commits, visibility flips atomically here."""
+    fp = _dir_fingerprint(data_dir)
     for _ in range(_COMMIT_RETRIES):
         snaps = committed_snapshots(path)
         if snaps:
             with open(os.path.join(_snap_dir(path), f"{snaps[-1]}.json")) as f:
-                prev = json.load(f)["data_dirs"]
+                head = json.load(f)
+            prev = head["data_dirs"]
+            prev_fps = head.get("dir_fps", {})
         else:
-            prev = []
+            prev, prev_fps = [], {}
         if (prev == [data_dir]) if replace else (data_dir in prev):
-            return snaps[-1]
+            # pre-fingerprint manifests (no dir_fps entry) keep the old
+            # idempotent-return semantics; recorded-and-unchanged too
+            if prev_fps.get(data_dir, fp) == fp:
+                return snaps[-1]
         new_id = (snaps[-1] + 1) if snaps else 1
+        new_dirs = [data_dir] if replace else (
+            prev if data_dir in prev else prev + [data_dir]
+        )
+        fps = {d: prev_fps[d] for d in new_dirs if d in prev_fps}
+        fps[data_dir] = fp
         manifest = {
             "snapshot_id": new_id,
             "parent_id": snaps[-1] if snaps else None,
-            "data_dirs": [data_dir] if replace else prev + [data_dir],
+            "data_dirs": new_dirs,
+            "dir_fps": fps,
         }
         if _commit_manifest(path, new_id, manifest):
             return new_id
@@ -322,32 +365,47 @@ def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
     so each dir is read separately, the reserved ``_bucket`` column is
     dropped, and the parts are unioned by name.
 
-    Partitioned snapshot dirs read with directory-name type INFERENCE
-    DISABLED and the partition column cast back to the type recorded in
-    the dir's sidecar: inference would coerce a string key '0123' to
-    bigint 123 (losing the leading zero) and then fail or corrupt the
-    union against flat snapshots carrying the true string column. The
-    session conf is toggled around the reads (single-driver engine)."""
-    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    saved = spark.conf.get(conf_key, "true")
+    A dir carrying a ``_partition_meta.json`` sidecar is read WITHOUT
+    Spark's directory-name partition discovery at all: each ``col=value``
+    subdirectory is scanned as its own parquet source and the partition
+    column re-attached as a literal of the sidecar's recorded TRUE type.
+    Directory-name type inference would coerce a string key '0123' to
+    bigint 123 (losing the leading zero); the previous fix toggled the
+    session-wide inference conf around the read, which RACES any
+    concurrent read in the same SparkSession (ADVICE r4) — explicit
+    per-subdir reads need no session state."""
+    from urllib.parse import unquote
+
     parts = []
-    try:
-        spark.conf.set(conf_key, "false")
-        for d in dirs:
-            df = spark.read.parquet(d)
-            if "_bucket" in df.columns:
-                df = df.drop("_bucket")
-            meta_path = os.path.join(d, _PARTITION_META)
-            if os.path.exists(meta_path):
-                with open(meta_path) as f:
-                    meta = json.load(f)
-                if meta["col"] in df.columns:
-                    df = df.withColumn(
-                        meta["col"], F.col(meta["col"]).cast(meta["type"])
-                    )
-            parts.append(df)
-    finally:
-        spark.conf.set(conf_key, saved)
+    for d in dirs:
+        meta = None
+        meta_path = os.path.join(d, _PARTITION_META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        subs = []
+        if meta is not None and os.path.isdir(d):
+            prefix = meta["col"] + "="
+            subs = sorted(
+                s for s in os.listdir(d)
+                if s.startswith(prefix)
+                and os.path.isdir(os.path.join(d, s))
+            )
+        if meta is not None and subs:
+            for s in subs:
+                raw = unquote(s[len(meta["col"]) + 1:])
+                val = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                sdf = spark.read.parquet(os.path.join(d, s)).withColumn(
+                    meta["col"], F.lit(val).cast(meta["type"])
+                )
+                if "_bucket" in sdf.columns:
+                    sdf = sdf.drop("_bucket")
+                parts.append(sdf)
+            continue
+        df = spark.read.parquet(d)
+        if "_bucket" in df.columns:
+            df = df.drop("_bucket")
+        parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -464,17 +522,29 @@ def snapshot_diff(
     if from_id not in snaps or to_id not in snaps or from_id > to_id:
         raise ValueError(f"bad snapshot range [{from_id}, {to_id}] of {snaps}")
 
-    def dirs(sid: int) -> list[str]:
+    def manifest(sid: int) -> dict:
         with open(os.path.join(_snap_dir(path), f"{sid}.json")) as f:
-            return json.load(f)["data_dirs"]
+            return json.load(f)
 
-    base, head = dirs(from_id), dirs(to_id)
+    m_base, m_head = manifest(from_id), manifest(to_id)
+    base, head = m_base["data_dirs"], m_head["data_dirs"]
     bset = set(base)
     if not bset <= set(head):
         raise ValueError(
             f"snapshots {from_id}..{to_id} are not append-only (a "
             "compaction rewrote the base files); re-baseline the consumer"
         )
+    # a shared dir whose content FINGERPRINT changed between the two
+    # manifests was rewritten in place (stage supersede) — the diff
+    # would silently miss those changed rows, so refuse (ADVICE r4)
+    fp_base = m_base.get("dir_fps", {})
+    fp_head = m_head.get("dir_fps", {})
+    for d in base:
+        if d in fp_base and d in fp_head and fp_base[d] != fp_head[d]:
+            raise ValueError(
+                f"snapshots {from_id}..{to_id} are not append-only "
+                f"({d} was rewritten in place); re-baseline the consumer"
+            )
     new_dirs = [d for d in head if d not in bset]
     if not new_dirs:
         return read_snapshot(spark, path, to_id).limit(0)
