@@ -615,15 +615,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture (max random-pair cosine ~0.51) so the result is a real,
     non-vacuous pair set (~450 rows at sf0.01)."""
     from zh_ner_tf_spark.operators.dedup import embedding_near_dups
-    from zh_ner_tf_spark.sources.tables import table_row_count
+    from zh_ner_tf_spark.sources.tables import table_embedding_dim, table_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # corpus size for the adaptive band family comes from the parquet
-    # FOOTER (zero Spark jobs) — the live count() inside
-    # _resolve_srp_family is the fallback for in-flight frames only
+    # corpus size AND dim for the adaptive band family come from parquet
+    # metadata (zero pre-flight Spark jobs) — the live count()/first()
+    # inside the operators are the fallback for in-flight frames only
     # (VERDICT r4 item 2: one extra full-scan action per ANN call)
     return embedding_near_dups(
-        emb, threshold=0.3, n_rows=table_row_count(sf_dir, "embeddings")
+        emb, threshold=0.3, n_rows=table_row_count(sf_dir, "embeddings"),
+        dim=table_embedding_dim(sf_dir),
     ).select(
         F.col("src").cast("bigint"), F.col("dst").cast("bigint"), "cosine"
     )
@@ -750,10 +751,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.01) = (16, 4), which is exactly the family the inlined-
     # hyperplane oracle replica encodes (_srp_sql_parts derives from the
     # same formula); at bench scale (sf0.1, 2000 rows) the same call
-    # widens to 24 bits for ~4x lower candidate density. n_rows comes
-    # from the parquet footer — no extra count() job (VERDICT r4 #2).
+    # widens to 24 bits for ~4x lower candidate density. n_rows and dim
+    # come from parquet metadata — zero pre-flight jobs (VERDICT r4 #2).
+    from zh_ner_tf_spark.sources.tables import table_embedding_dim
+
     return ann_topk(
-        emb, queries_df, k=10, n_rows=table_row_count(sf_dir, "embeddings")
+        emb, queries_df, k=10,
+        n_rows=table_row_count(sf_dir, "embeddings"),
+        dim=table_embedding_dim(sf_dir),
     ).select(
         F.col("query_id").cast("bigint"),
         F.col("vec_id").cast("bigint"),

@@ -398,6 +398,78 @@ def test_ivf_topk_partial_probe_finds_self(spark):
     assert got[0]["vec_id"] == 7 and abs(got[0]["cosine"] - 1.0) < 1e-6
 
 
+def test_ivf_distributed_codebook_quality_and_full_probe(spark):
+    """Distributed k-means codebook (full-corpus refinement, map-side-
+    combinable element-wise sums): (1) the nprobe=C == brute-force
+    invariant holds for ANY codebook, so the whole assignment/join path
+    stays exact under it; (2) full-corpus refinement must not LOSE
+    quality vs the bounded-sample fit (mean within-cluster cosine of
+    the assignment, epsilon for float-order nondeterminism); (3) empty
+    corpus -> None like the sample fit."""
+    from zh_ner_tf_spark.operators.similarity import (
+        fit_ivf_centroids,
+        fit_ivf_centroids_distributed,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent_d = fit_ivf_centroids_distributed(emb, n_centroids=8, iters=3)
+    assert cent_d.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(cent_d, axis=1), 1.0, atol=1e-9)
+
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(
+            emb, queries, k=5, nprobe=8, centroids=cent_d
+        ).collect()
+    }
+    assert full == exact
+
+    def mean_within_cluster_cos(cent):
+        x = np.array([r[0] for r in emb.select("embedding").collect()],
+                     dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cent.T
+        return float(sims.max(axis=1).mean())
+
+    cent_s = fit_ivf_centroids(emb, n_centroids=8, iters=2)
+    assert mean_within_cluster_cos(cent_d) >= mean_within_cluster_cos(cent_s) - 1e-6
+
+    empty = emb.filter("vec_id < 0")
+    assert fit_ivf_centroids_distributed(empty, n_centroids=4) is None
+
+
+def test_ann_metadata_dim_and_rows_match_probed_path(spark):
+    """ann_topk with dim/n_rows from parquet METADATA (zero pre-flight
+    jobs) is value-identical to the probe-and-count fallback, and the
+    metadata readers agree with the live data."""
+    from zh_ner_tf_spark.sources.tables import (
+        load_table,
+        table_embedding_dim,
+        table_row_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    dim = table_embedding_dim(sf)
+    n = table_row_count(sf, "embeddings")
+    assert dim == 64 and n == emb.count()
+    q = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    a = ann_topk(emb, q, k=5, n_rows=n, dim=dim).collect()
+    b = ann_topk(emb, q, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert [tuple(r) for r in sorted(a, key=key)] == [
+        tuple(r) for r in sorted(b, key=key)
+    ]
+
+
 @pytest.mark.parametrize("shape", ["long_path", "star", "bridged_cliques"])
 def test_connected_components_adversarial_shapes(spark, shape):
     if shape == "long_path":

@@ -459,6 +459,7 @@ def embedding_near_dups(
     n_bits: int | None = None,
     n_bands: int | None = None,
     n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With ``pairs`` given, verifies
     only those; otherwise falls back to the LSH-bucketed candidate
@@ -473,7 +474,7 @@ def embedding_near_dups(
     if pairs is None:
         pairs = lsh_candidates(emb, key_col, vec_col,
                                n_bits=n_bits, n_bands=n_bands,
-                               n_rows=n_rows)
+                               n_rows=n_rows, dim=dim)
     a = emb.select(F.col(key_col).alias("src"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(key_col).alias("dst"), F.col(vec_col).alias("_vb"))
     joined = pairs.select("src", "dst").join(a, "src").join(b, "dst")

@@ -322,6 +322,81 @@ def fit_ivf_centroids(
     return cent
 
 
+def fit_ivf_centroids_distributed(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = SEED,
+    sample_rows: int = 2048,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Distributed k-means for the IVF codebook — the 100 TB recipe
+    where a bounded driver-side sample cannot represent the corpus
+    (fit_ivf_centroids stays the cheap default at fixture scale).
+
+    Init = the same seeded sample-based codebook; each refinement
+    iteration then sees the FULL corpus:
+
+      * broadcast the current codebook (C x dim floats — the only
+        driver-side state),
+      * ONE Arrow pass assigns every row its nearest centroid,
+      * an element-wise sum aggregation (dim spark-native SUM columns
+        over the L2-normalized vectors) with MAP-SIDE partial
+        aggregation — the shuffle carries C x dim partials per
+        partition, never raw vectors,
+      * the driver normalizes the C summed means into the next
+        codebook (an emptied centroid keeps its previous position).
+
+    Cost per iteration: one corpus scan + a C-row shuffle. Float-sum
+    ordering across partitions makes the low bits run-dependent, so
+    gates on this path are QUALITY gates (assignment agreement /
+    within-cluster similarity / the nprobe=C == brute-force invariant),
+    not byte equality — see tests/test_graph_dedup_ops.py."""
+    spark = emb.sparkSession
+    cent = fit_ivf_centroids(emb, n_centroids, vec_col,
+                             sample_rows=sample_rows, iters=2, seed=seed)
+    if cent is None:
+        return None
+    if dim is None:
+        dim = cent.shape[1]
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda a, x: a + x,
+    ))
+    vn = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)),
+    )
+    staged = emb.filter(F.col(vec_col).isNotNull()).select(vn.alias("_vn"))
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+        assign = _ivf_assign_udf(bc, 1)
+        agg = (
+            staged.select(
+                F.element_at(assign(F.col("_vn")), 1).alias("cid"), "_vn"
+            )
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("_vn", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()  # C rows — bounded driver state by construction
+        )
+        nxt = cent.copy()
+        for r in agg:
+            c = int(r["cid"])
+            mean = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+            nxt[c] = mean
+        nxt /= np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12)
+        cent = nxt
+        bc.unpersist()
+    return cent
+
+
 def _ivf_assign_udf(centroids_bc, nprobe: int):
     from pyspark.sql.functions import pandas_udf
 
@@ -348,6 +423,7 @@ def ivf_topk(
     query_key: str = "query_id",
     seed: int = SEED,
     n_rows: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are bucketed by nearest
     centroid (one Arrow-vectorized pass, never shuffling raw vectors by
@@ -357,12 +433,18 @@ def ivf_topk(
 
     The 100 TB shape: tiny global broadcast codebook, bucket-keyed equi
     join, exact rescoring on ~corpus * nprobe / n_centroids rows.
-    ``n_centroids`` defaults to ivf_params(corpus size) (~sqrt(n))."""
+    ``n_centroids`` defaults to ivf_params(corpus size) (~sqrt(n));
+    pass ``n_rows`` from metadata (parquet footers / snapshot manifest)
+    to avoid the count() fallback. A precomputed ``centroids`` codebook
+    (e.g. fit_ivf_centroids_distributed's) skips the sample fit."""
     spark = corpus.sparkSession
-    if n_centroids is None:
-        n_centroids = ivf_params(n_rows if n_rows is not None
-                                 else corpus.count())
-    cent = fit_ivf_centroids(corpus, n_centroids, vec_col, seed=seed)
+    if centroids is not None:
+        cent = centroids
+    else:
+        if n_centroids is None:
+            n_centroids = ivf_params(n_rows if n_rows is not None
+                                     else corpus.count())
+        cent = fit_ivf_centroids(corpus, n_centroids, vec_col, seed=seed)
     if cent is None:
         # empty corpus: no codebook to fit; the exact path degenerates
         # to the same (empty) result with the identical output schema
@@ -469,6 +551,7 @@ def ann_topk(
     seed: int = SEED,
     n_rows: int | None = None,
     n_probes: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: score only bucket-mates.
 
@@ -485,14 +568,22 @@ def ann_topk(
     lowest-|margin| signature bits per band): recall recovery that costs
     extra QUERY band rows only — never more corpus work — the right
     trade at crawl scale where the corpus dominates. n_probes=1 keeps
-    the exact single-bucket behavior (the oracle-replicated family)."""
-    first = corpus.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        # empty corpus: identical (empty) output via the exact path
-        return brute_force_topk(corpus, queries, k, key_col, vec_col,
-                                query_key)
+    the exact single-bucket behavior (the oracle-replicated family).
+
+    Pass ``dim`` (and ``n_rows``) from metadata — e.g.
+    sources.tables.table_embedding_dim / table_row_count read parquet
+    footers and one driver-side batch — to run with ZERO pre-flight
+    Spark jobs; omitting them falls back to a `first()` probe and a
+    `count()`."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            # empty corpus: identical (empty) output via the exact path
+            return brute_force_topk(corpus, queries, k, key_col, vec_col,
+                                    query_key)
+        dim = int(first["d"])
     n_bits, n_bands = _resolve_srp_family(corpus, n_bits, n_bands, n_rows)
-    planes = _hyperplanes(int(first["d"]), n_bits, seed)
+    planes = _hyperplanes(dim, n_bits, seed)
     if n_probes > 1:
         # NumPy's blocked dot may disagree with the JVM fold in the last
         # ulp when a plane dot is ~0 and flip a sign — acceptable for the

@@ -53,3 +53,43 @@ def table_row_count(sf_dir: str, name: str) -> int:
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     return parquet_dir_row_count(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def parquet_array_dim(path: str, col: str) -> int | None:
+    """Element count of an array column's first non-null value, read
+    driver-side from ONE small parquet batch — no Spark job. Parquet's
+    list type carries no length, so the adaptive ANN paths otherwise pay
+    a `first()` action per call just to learn the embedding dim; at
+    crawl scale that is another whole job on the hot path. Returns None
+    when the file has no non-null value in the first batches (callers
+    fall back to the Spark probe)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        cand = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files if f.endswith(".parquet")
+        )
+        if not cand:
+            return None
+        path = cand[0]
+    pf = pq.ParquetFile(path)
+    if pf.metadata.num_rows == 0:
+        return None
+    for batch in pf.iter_batches(batch_size=64, columns=[col]):
+        for v in batch.column(0):
+            pv = v.as_py()
+            if pv is not None:
+                return len(pv)
+    return None
+
+
+def table_embedding_dim(
+    sf_dir: str, name: str = "embeddings", col: str = "embedding"
+) -> int | None:
+    """Embedding dimensionality of a testdata table from one driver-side
+    parquet batch (no Spark job)."""
+    if name not in TESTDATA_TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    return parquet_array_dim(f"{sf_dir.rstrip('/')}/{name}.parquet", col)
