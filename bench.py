@@ -349,27 +349,25 @@ def ann_density(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from zh_ner_tf_spark.operators.similarity import (
-        _hyperplanes, _srp_bands, srp_params,
+        ann_candidate_pairs, srp_params,
     )
-    from zh_ner_tf_spark.sources.tables import load_table, table_row_count
+    from zh_ner_tf_spark.sources.tables import (
+        load_table, table_embedding_dim, table_row_count,
+    )
 
     n = table_row_count(sf_dir, "embeddings")
     bits, bands = srp_params(n)
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
-    planes = _hyperplanes(dim, bits)
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     n_queries = qdf.count()
-    qb = F.broadcast(
-        _srp_bands(qdf, "query_id", "embedding", planes, bits, bands, "qid")
-    )
-    cb = _srp_bands(emb, "vec_id", "embedding", planes, bits, bands, "cid")
-    n_cands = (
-        qb.join(cb, ["band_id", "band_value"])
-        .dropDuplicates(["qid", "cid"]).count()
-    )
+    # the SAME candidate stage ann_topk executes (shared helper), so the
+    # reported density is the benched pipeline's by construction
+    n_cands = ann_candidate_pairs(
+        emb, qdf, n_rows=n, dim=table_embedding_dim(sf_dir),
+        carry_vec=False,
+    ).count()
     return {
         "corpus_rows": n,
         "n_bits": bits,

@@ -686,6 +686,13 @@ def test_stage_rmtree_guard_refuses_unowned_dirs(spark, tmp_path):
             df, lambda p: p, spark, "s2", "k", out2, str(tmp_path / "mB"), 4
         )
     assert spark.read.parquet(out2).count() == 4
+    # right manifest dir but WRONG stage name (another stage's data in
+    # this dir): refused too — the sidecar records both halves
+    with _pytest.raises(ValueError, match=r"wrong \(out_dir, stage\)"):
+        run_stage_with_lineage(
+            df, lambda p: p, spark, "sX", "k", out2, str(tmp_path / "mA"), 4
+        )
+    assert spark.read.parquet(out2).count() == 4
     # the RIGHT pairing still resumes idempotently
     got = run_stage_with_lineage(
         df, lambda p: p, spark, "s2", "k", out2, str(tmp_path / "mA"), 4

@@ -539,6 +539,59 @@ def _query_probe_bands(
     ).select(out_key, f"_v_{out_key}", "bv.band_id", "bv.band_value")
 
 
+def ann_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+    n_bits: int | None = None,
+    n_bands: int | None = None,
+    seed: int = SEED,
+    n_rows: int | None = None,
+    n_probes: int = 1,
+    dim: int | None = None,
+    carry_vec: bool = True,
+) -> DataFrame | None:
+    """The candidate stage of ann_topk, shared with the bench's density
+    report so what the report measures is BY CONSTRUCTION the pipeline
+    the query runs: corpus-side JVM band rows, broadcast query band rows
+    (multi-probe when n_probes > 1), bucket equi-join, (qid, cid) dedup.
+    Returns distinct candidate rows (qid, cid[, _v_qid, _v_cid]), or
+    None for an empty corpus with unknown dim (callers fall back to the
+    exact path)."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return None
+        dim = int(first["d"])
+    n_bits, n_bands = _resolve_srp_family(corpus, n_bits, n_bands, n_rows)
+    planes = _hyperplanes(dim, n_bits, seed)
+    if n_probes > 1:
+        # NumPy's blocked dot may disagree with the JVM fold in the last
+        # ulp when a plane dot is ~0 and flip a sign — acceptable for the
+        # probe path (approximate by definition, pytest-gated on recall);
+        # the n_probes=1 path stays pure JVM and value-exact vs the
+        # DuckDB replica.
+        qb = F.broadcast(
+            _query_probe_bands(queries, query_key, vec_col, planes,
+                               n_bits, n_bands, n_probes, "qid")
+        )
+        if not carry_vec:
+            qb = qb.drop("_v_qid")
+    else:
+        qb = F.broadcast(
+            _srp_bands(queries, query_key, vec_col, planes, n_bits,
+                       n_bands, "qid", carry_vec=carry_vec)
+        )
+    cb = _srp_bands(corpus, key_col, vec_col, planes, n_bits, n_bands,
+                    "cid", carry_vec=carry_vec)
+    return (
+        qb.join(cb, ["band_id", "band_value"])
+        .dropDuplicates(["qid", "cid"])
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -575,33 +628,14 @@ def ann_topk(
     footers and one driver-side batch — to run with ZERO pre-flight
     Spark jobs; omitting them falls back to a `first()` probe and a
     `count()`."""
-    if dim is None:
-        first = corpus.select(F.size(vec_col).alias("d")).first()
-        if first is None:
-            # empty corpus: identical (empty) output via the exact path
-            return brute_force_topk(corpus, queries, k, key_col, vec_col,
-                                    query_key)
-        dim = int(first["d"])
-    n_bits, n_bands = _resolve_srp_family(corpus, n_bits, n_bands, n_rows)
-    planes = _hyperplanes(dim, n_bits, seed)
-    if n_probes > 1:
-        # NumPy's blocked dot may disagree with the JVM fold in the last
-        # ulp when a plane dot is ~0 and flip a sign — acceptable for the
-        # probe path (approximate by definition, pytest-gated on recall);
-        # the n_probes=1 path stays pure JVM and value-exact vs the
-        # DuckDB replica.
-        qb = F.broadcast(
-            _query_probe_bands(queries, query_key, vec_col, planes,
-                               n_bits, n_bands, n_probes, "qid")
-        )
-    else:
-        qb = F.broadcast(
-            _srp_bands(queries, query_key, vec_col, planes, n_bits,
-                       n_bands, "qid", carry_vec=True)
-        )
-    cb = _srp_bands(corpus, key_col, vec_col, planes, n_bits, n_bands,
-                    "cid", carry_vec=True)
-    pairs = qb.join(cb, ["band_id", "band_value"]).dropDuplicates(["qid", "cid"])
+    pairs = ann_candidate_pairs(
+        corpus, queries, key_col, vec_col, query_key, n_bits, n_bands,
+        seed, n_rows, n_probes, dim, carry_vec=True,
+    )
+    if pairs is None:
+        # empty corpus: identical (empty) output via the exact path
+        return brute_force_topk(corpus, queries, k, key_col, vec_col,
+                                query_key)
     scored = pairs.select(
         F.col("qid").alias(query_key),
         F.col("cid").alias(key_col),

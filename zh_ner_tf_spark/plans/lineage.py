@@ -116,6 +116,14 @@ def _check_stage_sidecar(out_dir: str, manifest_dir: str, stage: str) -> None:
             f"{meta.get('manifest_dir')!r}, not {os.path.realpath(manifest_dir)!r} "
             f"— wrong (out_dir, manifest_dir) pairing"
         )
+    if meta.get("stage") != stage:
+        # same manifest dir can serve several stages; a wrong (out_dir,
+        # stage) pairing must not delete another stage's committed data
+        raise ValueError(
+            f"refusing to delete {out_dir}: its sidecar names stage "
+            f"{meta.get('stage')!r}, not {stage!r} — wrong (out_dir, stage) "
+            f"pairing"
+        )
 
 
 def run_stage_with_lineage(
@@ -197,9 +205,14 @@ def run_stage_with_lineage(
         # ever written — materialize an empty, schema-carrying output so
         # the read-back (and any snapshot publish of this directory)
         # sees a valid empty table instead of failing on a missing path.
-        # Sidecar AFTER this write (plain overwrite truncates the dir).
-        transform(pending).write.mode("overwrite").parquet(out_dir)
-        _write_stage_sidecar(out_dir, manifest_dir, stage)
+        # Write marker + sidecar into a TEMP dir and atomically rename:
+        # a crash mid-write leaves only an invisible temp dir, never an
+        # out_dir without its ownership sidecar (which would wedge the
+        # later supersede delete on the missing-sidecar refusal).
+        tmp = f"{out_dir}.tmp-{run_id[:8]}"
+        transform(pending).write.mode("overwrite").parquet(tmp)
+        _write_stage_sidecar(tmp, manifest_dir, stage)
+        os.rename(tmp, out_dir)
     return spark.read.parquet(out_dir)
 
 

@@ -150,24 +150,40 @@ def snapshot_append(
     if partition_by is not None:
         _write_partition_meta(data_dir, partition_by,
                               df.schema[partition_by].dataType.simpleString())
+    n_rows = _dir_row_count(data_dir)
     for _ in range(_COMMIT_RETRIES):
         snaps = committed_snapshots(path)
         new_id = (snaps[-1] + 1) if snaps else 1
         if snaps:
             with open(os.path.join(_snap_dir(path), f"{snaps[-1]}.json")) as f:
-                prev = json.load(f)["data_dirs"]
+                head = json.load(f)
+            prev = head["data_dirs"]
+            prev_rows = head.get("dir_rows", {})
         else:
-            prev = []
+            prev, prev_rows = [], {}
+        rows = {d: prev_rows[d] for d in prev if d in prev_rows}
+        rows[data_dir] = n_rows
         manifest = {
             "snapshot_id": new_id,
             "parent_id": snaps[-1] if snaps else None,
             "data_dirs": prev + [data_dir],
+            "dir_rows": rows,
         }
         if _commit_manifest(path, new_id, manifest):
             return new_id
     raise RuntimeError(
         f"snapshot_append lost {_COMMIT_RETRIES} commit races on {path}"
     )
+
+
+def _dir_row_count(data_dir: str) -> int:
+    """Footer-metadata row count of one data dir (no Spark job) —
+    recorded into the manifest at commit time (Iceberg's
+    ``total-records`` analog) so later reads are O(1) manifest lookups
+    instead of per-call footer walks."""
+    from zh_ner_tf_spark.sources.tables import parquet_dir_row_count
+
+    return parquet_dir_row_count(data_dir)
 
 
 def _dir_fingerprint(data_dir: str) -> str:
@@ -222,9 +238,13 @@ def snapshot_commit_dir(path: str, data_dir: str, replace: bool = False) -> int:
         else:
             prev, prev_fps = [], {}
         if (prev == [data_dir]) if replace else (data_dir in prev):
-            # pre-fingerprint manifests (no dir_fps entry) keep the old
-            # idempotent-return semantics; recorded-and-unchanged too
-            if prev_fps.get(data_dir, fp) == fp:
+            # idempotent ONLY when the recorded fingerprint proves the
+            # dir unchanged; a manifest without a recorded fp (written
+            # by snapshot_append or pre-fingerprint code) gets one extra
+            # snapshot that RECORDS it — cheap, and it closes the hole
+            # where an in-place rewrite of an un-fingerprinted dir would
+            # silently pass as idempotent
+            if prev_fps.get(data_dir) == fp:
                 return snaps[-1]
         new_id = (snaps[-1] + 1) if snaps else 1
         new_dirs = [data_dir] if replace else (
@@ -232,11 +252,15 @@ def snapshot_commit_dir(path: str, data_dir: str, replace: bool = False) -> int:
         )
         fps = {d: prev_fps[d] for d in new_dirs if d in prev_fps}
         fps[data_dir] = fp
+        prev_rows = head.get("dir_rows", {}) if snaps else {}
+        rows = {d: prev_rows[d] for d in new_dirs if d in prev_rows}
+        rows[data_dir] = _dir_row_count(data_dir)
         manifest = {
             "snapshot_id": new_id,
             "parent_id": snaps[-1] if snaps else None,
             "data_dirs": new_dirs,
             "dir_fps": fps,
+            "dir_rows": rows,
         }
         if _commit_manifest(path, new_id, manifest):
             return new_id
@@ -334,6 +358,7 @@ def snapshot_compact(
         "snapshot_id": new_id,
         "parent_id": base,
         "data_dirs": [data_dir],
+        "dir_rows": {data_dir: _dir_row_count(data_dir)},
         "compaction": True,
     }
     # Compaction replaces the WHOLE table as of `base`, so unlike append
@@ -552,13 +577,15 @@ def snapshot_diff(
 
 
 def snapshot_row_count(path: str, snapshot_id: int | None = None) -> int:
-    """Row count of a snapshot from parquet FOOTER metadata — no Spark
-    job (Iceberg's manifest ``total-records`` analog). This is the
-    metadata source adaptive operators use for corpus size (SRP band
-    family, IVF codebook — operators/similarity.py) when the corpus
-    lives in a snapshot table: an extra full-scan ``count()`` per ANN
-    call is a whole wasted job at 10^9 rows, while the footers already
-    know."""
+    """Row count of a snapshot (Iceberg's manifest ``total-records``
+    analog) — no Spark job. Commit paths record per-dir counts in the
+    manifest (``dir_rows``), so the common case is an O(1) manifest
+    read; dirs a pre-recording manifest missed fall back to a one-time
+    parquet-footer walk. This is the metadata source adaptive operators
+    use for corpus size (SRP band family, IVF codebook —
+    operators/similarity.py) when the corpus lives in a snapshot table:
+    an extra full-scan ``count()`` per ANN call is a whole wasted job at
+    10^9 rows, while the manifest already knows."""
     from zh_ner_tf_spark.sources.tables import parquet_dir_row_count
 
     snaps = committed_snapshots(path)
@@ -568,8 +595,12 @@ def snapshot_row_count(path: str, snapshot_id: int | None = None) -> int:
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in {snaps}")
     with open(os.path.join(_snap_dir(path), f"{sid}.json")) as f:
-        dirs = json.load(f)["data_dirs"]
-    return sum(parquet_dir_row_count(d) for d in dirs)
+        m = json.load(f)
+    rows = m.get("dir_rows", {})
+    return sum(
+        rows[d] if d in rows else parquet_dir_row_count(d)
+        for d in m["data_dirs"]
+    )
 
 
 def read_snapshot(

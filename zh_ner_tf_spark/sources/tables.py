@@ -55,33 +55,40 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return parquet_dir_row_count(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
-def parquet_array_dim(path: str, col: str) -> int | None:
+def parquet_array_dim(
+    path: str, col: str, max_batches_per_file: int = 4, max_files: int = 8
+) -> int | None:
     """Element count of an array column's first non-null value, read
-    driver-side from ONE small parquet batch — no Spark job. Parquet's
-    list type carries no length, so the adaptive ANN paths otherwise pay
-    a `first()` action per call just to learn the embedding dim; at
-    crawl scale that is another whole job on the hot path. Returns None
-    when the file has no non-null value in the first batches (callers
-    fall back to the Spark probe)."""
+    driver-side from a few small parquet batches — no Spark job.
+    Parquet's list type carries no length, so the adaptive ANN paths
+    otherwise pay a `first()` action per call just to learn the
+    embedding dim; at crawl scale that is another whole job on the hot
+    path. The probe is BOUNDED (``max_batches_per_file`` x 64 rows per
+    file, first ``max_files`` part files) so an all-null column can
+    never drag the driver through a multi-GB file; when every probed
+    batch is null the function returns None and callers fall back to
+    the Spark probe."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        cand = sorted(
+        files = sorted(
             os.path.join(root, f)
             for root, _dirs, files in os.walk(path)
             for f in files if f.endswith(".parquet")
-        )
-        if not cand:
-            return None
-        path = cand[0]
-    pf = pq.ParquetFile(path)
-    if pf.metadata.num_rows == 0:
-        return None
-    for batch in pf.iter_batches(batch_size=64, columns=[col]):
-        for v in batch.column(0):
-            pv = v.as_py()
-            if pv is not None:
-                return len(pv)
+        )[:max_files]
+    else:
+        files = [path]
+    for fpath in files:
+        pf = pq.ParquetFile(fpath)
+        if pf.metadata.num_rows == 0:
+            continue
+        for bi, batch in enumerate(pf.iter_batches(batch_size=64, columns=[col])):
+            if bi >= max_batches_per_file:
+                break
+            for v in batch.column(0):
+                pv = v.as_py()
+                if pv is not None:
+                    return len(pv)
     return None
 
 
