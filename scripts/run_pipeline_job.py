@@ -3,12 +3,19 @@ spark-submit --py-files on a multi-executor cluster").
 
 Usage:
   spark-submit --py-files engine.zip scripts/run_pipeline_job.py \
-      <n_pages> <out_dir>
+      <n_pages> <out_dir>                          # full batch build
+  spark-submit --py-files engine.zip scripts/run_pipeline_job.py \
+      incremental <pages_table> <graph_root> [batch_pages]
+                                                   # crawl-consumption loop
 
-Builds the fixture pages table, runs the full KG pipeline, writes
-triples/nodes/edges parquet under <out_dir>. The engine arrives ONLY via
---py-files (no repo on the executors' path) — this script must import
-everything from the shipped zip.
+Batch mode builds the fixture pages table, runs the full KG pipeline,
+and writes triples/nodes/edges under <out_dir>. Incremental mode
+simulates one crawl arrival (appends a deterministic batch of pages as
+a new snapshot to <pages_table>) and consumes it with
+pipeline.run_incremental — each invocation tags ONLY the new batch and
+republishes the graph; re-running keeps advancing the cursor. The
+engine arrives ONLY via --py-files (no repo on the executors' path) —
+this script must import everything from the shipped zip.
 """
 
 from __future__ import annotations
@@ -16,6 +23,58 @@ from __future__ import annotations
 import sys
 
 from pyspark.sql import SparkSession
+
+
+def _vocab_and_weights(rows):
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.fixtures.pages import oracle_extract_text
+    from zh_ner_tf_spark.oracle import normalize_token
+
+    word2id = {"<PAD>": 0}
+    for r in rows:
+        text = r["text"] if r["text"] is not None else oracle_extract_text(r["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    return word2id, planted_weights(word2id)
+
+
+def main_incremental() -> None:
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, pages_schema
+    from zh_ner_tf_spark.pipeline import run_incremental
+    from zh_ner_tf_spark.sources.sinks import committed_snapshots, snapshot_append
+
+    pages_table = sys.argv[2]
+    graph_root = sys.argv[3]
+    batch_pages = int(sys.argv[4]) if len(sys.argv) > 4 else 60
+    max_batches = 8
+
+    spark = SparkSession.builder.appName("kg_incremental_job").getOrCreate()
+    # deterministic page universe shared by every invocation: vocab and
+    # weights stay IDENTICAL across batches (a real deployment ships a
+    # frozen model artifact; the fixture derives it from the universe)
+    universe = gen_pages(batch_pages * max_batches, seed=42)
+    word2id, weights = _vocab_and_weights(universe)
+
+    try:
+        arrived = len(committed_snapshots(pages_table))
+    except FileNotFoundError:
+        arrived = 0
+    if arrived < max_batches:
+        batch = universe[arrived * batch_pages:(arrived + 1) * batch_pages]
+        df = spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in batch],
+            schema=pages_schema(),
+        )
+        snapshot_append(df, pages_table)
+    res = run_incremental(spark, pages_table, graph_root, weights, word2id)
+    print(f"PROCESSED_PAGES={res['processed_pages']}")
+    print(f"UP_TO_DATE={res['up_to_date']}")
+    print(f"PAGES_SNAPSHOT={res['pages_snapshot']}")
+    print(f"GRAPH_SNAPSHOTS={res['graph_sids']}")
+    spark.stop()
 
 
 def main() -> None:
@@ -66,4 +125,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "incremental":
+        main_incremental()
+    else:
+        main()

@@ -54,3 +54,50 @@ def test_spark_submit_pyfiles_runs_pipeline(tmp_path):
     assert marker, proc.stdout[-2000:]
     assert int(marker[0].split("=")[1]) > 0
     assert os.path.exists(os.path.join(out_dir, "nodes"))
+
+
+@pytest.mark.slow
+def test_spark_submit_incremental_consumes_batches(tmp_path):
+    """The crawl-consumption loop under real spark-submit --py-files:
+    each invocation appends one deterministic page batch as a snapshot
+    and consumes EXACTLY that batch (run_incremental cursor), advancing
+    the published graph."""
+    zip_path = str(tmp_path / "engine.zip")
+    _build_zip(zip_path)
+    ptable = str(tmp_path / "pages")
+    groot = str(tmp_path / "graph")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        env[v] = "1"
+
+    def submit():
+        return subprocess.run(
+            [
+                "spark-submit",
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+                "--py-files", zip_path,
+                os.path.join(REPO, "scripts", "run_pipeline_job.py"),
+                "incremental", ptable, groot, "50",
+            ],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+
+    def val(out, key):
+        return [l for l in out.splitlines() if l.startswith(key + "=")][0].split("=", 1)[1]
+
+    p1 = submit()
+    assert p1.returncode == 0, p1.stderr[-3000:]
+    assert val(p1.stdout, "PROCESSED_PAGES") == "50"
+    assert val(p1.stdout, "UP_TO_DATE") == "False"
+    assert val(p1.stdout, "PAGES_SNAPSHOT") == "1"
+    p2 = submit()
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    assert val(p2.stdout, "PROCESSED_PAGES") == "50"   # ONLY the new batch
+    assert val(p2.stdout, "PAGES_SNAPSHOT") == "2"
+    assert os.path.exists(os.path.join(groot, "nodes", "snapshots"))
+    assert os.path.exists(os.path.join(groot, "mentions"))
