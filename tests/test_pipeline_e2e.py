@@ -317,9 +317,19 @@ def test_incremental_pipeline_matches_full_rebuild(spark, tmp_path):
     assert r1b["up_to_date"] and r1b["processed_pages"] == 0
 
     snapshot_append(df_of(rows[70:]), ptable)
-    r2 = run_incremental(spark, ptable, groot, weights, word2id)
+    r2 = run_incremental(spark, ptable, groot, weights, word2id,
+                         keep_graph_snapshots=1)
     assert r2["processed_pages"] == 50 and not r2["up_to_date"]
     assert r2["graph_sids"]["nodes"] >= 1
+    # in-loop maintenance: only the newest graph snapshot is retained
+    # (the first increment's replaced snapshot + its stage dir are gone)
+    from zh_ner_tf_spark.sources.sinks import committed_snapshots
+
+    import os
+
+    assert committed_snapshots(os.path.join(groot, "nodes")) == [
+        r2["graph_sids"]["nodes"]
+    ]
 
     full = run_pipeline(spark, df_of(rows), weights, word2id, lang="zh")
 

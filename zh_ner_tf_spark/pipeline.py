@@ -226,6 +226,7 @@ def run_incremental(
     n_buckets: int = 32,
     subj_types: tuple[str, ...] = ("PER",),
     obj_types: tuple[str, ...] = ("ORG", "LOC"),
+    keep_graph_snapshots: int | None = None,
 ) -> dict:
     """Incremental KG construction over a snapshot table of pages — the
     crawl-consumption loop at 100 TB, where re-tagging the whole corpus
@@ -309,6 +310,20 @@ def run_incremental(
         spark, {"nodes": nodes, "edges": edges}, graph_root,
         stage=f"graph-{head}", n_buckets=n_buckets, replace=True,
     )
+    if keep_graph_snapshots is not None:
+        # in-loop table maintenance: every increment REPLACES the
+        # nodes/edges snapshot, so without expiry each superseded
+        # graph-<sid> stage dir lives forever. keep_graph_snapshots
+        # bounds retained history (time travel keeps working that far
+        # back); expired stage dirs take their lineage manifests with
+        # them (sinks.snapshot_expire), so a reused stage name would
+        # recompute instead of publishing empty.
+        from zh_ner_tf_spark.sources.sinks import snapshot_expire
+
+        for t in ("nodes", "edges"):
+            snapshot_expire(
+                os.path.join(graph_root, t), keep_last=keep_graph_snapshots
+            )
     tmp = f"{state_path}.tmp"
     with open(tmp, "w") as f:
         json.dump({"pages_snapshot": head}, f)
