@@ -193,3 +193,63 @@ def test_warc_scanner_never_crashes_and_finds_valid_records(junk, n_good):
     # no pseudo-records beyond the planted ones unless the junk itself
     # contains a syntactically valid record (vanishingly unlikely here)
     assert len(recs) <= n_good + 1
+
+
+@given(st.integers(min_value=0, max_value=10**13))
+@settings(max_examples=80, deadline=None)
+def test_srp_params_invariants(n_rows):
+    """Band-family derivation holds its contract at every corpus size:
+    bits_per_band bounded [4, 24], total bits = bpb * bands, band count
+    bounded [4, 64], and bucket width never shrinks as the corpus grows
+    (monotone non-decreasing bits per band)."""
+    from zh_ner_tf_spark.operators.similarity import srp_params
+
+    bits, bands = srp_params(n_rows)
+    bpb = bits // bands
+    assert bits == bpb * bands
+    assert 4 <= bpb <= 24
+    assert 4 <= bands <= 64
+    bigger_bits, bigger_bands = srp_params(max(n_rows * 2, 1))
+    assert bigger_bits // bigger_bands >= bpb
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc/", min_size=1, max_size=8),
+        st.binary(min_size=0, max_size=32),
+        min_size=0, max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_dir_fingerprint_detects_any_listing_change(tmp_path_factory, files):
+    """_dir_fingerprint is a pure function of the (relpath, size)
+    listing: identical trees agree, and adding a file or changing any
+    file's SIZE changes the fingerprint."""
+    import os
+
+    from zh_ner_tf_spark.sources.sinks import _dir_fingerprint
+
+    base = tmp_path_factory.mktemp("fp")
+
+    def materialize(d, tree):
+        for rel, data in tree.items():
+            rel = rel.replace("/", "_")  # keep flat: names are the point
+            with open(os.path.join(d, rel), "wb") as f:
+                f.write(data)
+
+    d1 = base / "a"; d2 = base / "b"
+    d1.mkdir(); d2.mkdir()
+    materialize(d1, files); materialize(d2, files)
+    assert _dir_fingerprint(str(d1)) == _dir_fingerprint(str(d2))
+    # adding a file changes it
+    with open(d2 / "zz_new", "wb") as f:
+        f.write(b"x")
+    assert _dir_fingerprint(str(d1)) != _dir_fingerprint(str(d2))
+    if files:
+        # growing any one file changes it
+        name = sorted(files)[0].replace("/", "_")
+        with open(d1 / name, "ab") as f:
+            f.write(b"grow")
+        d3 = base / "c"; d3.mkdir()
+        materialize(d3, files)
+        assert _dir_fingerprint(str(d1)) != _dir_fingerprint(str(d3))
