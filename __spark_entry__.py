@@ -1019,6 +1019,31 @@ def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi join through the driver gate: events joined
+    to per-user totals (dim derived from events) via salted_join with
+    EVERY user forced hot — so the whole result flows through the
+    replicate-right-per-salt machinery — checked against the plain-SQL
+    join oracle. The census-driven selective path (cold keys unsalted)
+    and the left-join/unmatched-row semantics are pytest-gated
+    (tests/test_graph_dedup_ops.py::test_salted_join_equals_plain_join)."""
+    from zh_ner_tf_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return salted_join(
+        ev, totals, ["user_id"],
+        hot_keys=totals.select("user_id"), salt_buckets=4,
+    ).select(
+        F.col("user_id").cast("bigint"), "event_type", "value_c", "n_events"
+    )
+
+
 def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming exact-dedup operator's BATCH twin (final per-hash
     state: keep_id = min doc id, n_dups = total). stream_dedup_groups'
@@ -1251,15 +1276,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item 1 — twice a new operator shipped without a driver row):
 
       1. a NEW query DEBUTS inside the 50-row window (r5 debuts:
-         stream_dedup_totals; first-driver-check: approx_quantiles_orders
-         and heavy_hitters_status, which sat at positions 51-52 in r4);
+         stream_dedup_totals and salted_join_events; first-driver-check:
+         approx_quantiles_orders and heavy_hitters_status, which sat at
+         positions 51-52 in r4);
       2. a rotated-out entry returns within ONE round (r5 returns the
          five trivial queries rotated out in r4; rotated out THIS round
-         are eight relational queries driver-green r01-r04:
+         are nine relational queries driver-green r01-r04:
          tpch_pricing_summary, broadcast_join_dims,
          topk_orders_per_customer, cube_lineitem, rollup_orders,
-         grouping_sets_orders, pivot_order_status, set_ops_customers —
-         due back in r6).
+         grouping_sets_orders, pivot_order_status, set_ops_customers,
+         median_order_value — due back in r6).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1273,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles_orders": q_approx_quantiles_orders,
         "heavy_hitters_status": q_heavy_hitters_status,
         "stream_dedup_totals": q_stream_dedup_totals,
+        "salted_join_events": q_salted_join_events,
         # --- returning after one round out (invariant 2) ---
         "filter_pushdown_scan": q_filter_pushdown_scan,
         "orders_by_month": q_orders_by_month,
@@ -1318,11 +1345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_documents": q_approx_distinct_documents,
         "windowed_event_counts": q_windowed_event_counts,
         "running_user_totals": q_running_user_totals,
-        "median_order_value": q_median_order_value,
         # --- below the driver's 50-row window this round: rotation pool
         # only — every entry here was driver-green in r04 (and r01-r03),
         # due back inside the window in r6 (invariant 2); ALL are gated
         # locally every round by tests/test_entry_contract.py ---
+        "median_order_value": q_median_order_value,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "broadcast_join_dims": q_broadcast_join_dims,
         "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -2281,6 +2308,18 @@ FROM events GROUP BY 1, 2
 SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n,
        CAST(round(sum(value) * 100) AS BIGINT) AS value_c
 FROM events GROUP BY user_id
+"""
+
+    # salted join == plain join (the salting is an execution detail)
+    fam_sqls["salted_join_events"] = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), t AS (
+  SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id
+)
+SELECT ev.user_id::BIGINT AS user_id, event_type, value_c, n_events
+FROM ev JOIN t ON ev.user_id = t.user_id
 """
 
     # the streaming exact-dedup operator's final state (batch twin

@@ -358,6 +358,41 @@ def test_salted_agg_equals_direct_groupby(spark):
     assert direct == salted
 
 
+def test_salted_join_equals_plain_join(spark):
+    """salted_join is multiset-equal to the plain join on a skewed
+    dataset for inner AND left joins (unmatched hot and cold left rows
+    survive a left join exactly once; hot right rows replicated per
+    salt meet each left row exactly once); right/full are rejected."""
+    from zh_ner_tf_spark.operators.skew import salted_join
+
+    left_rows = (
+        [("hot", i) for i in range(2000)]
+        + [(f"cold{i % 7}", i) for i in range(70)]
+        + [("lonely", 1), ("lonely", 2)]          # no right match
+    )
+    right_rows = (
+        [("hot", "a"), ("hot", "b")]              # hot key: 2 matches
+        + [(f"cold{i}", f"r{i}") for i in range(7)]
+        + [("right_only", "x")]
+    )
+    left = spark.createDataFrame(left_rows, "k string, v int")
+    right = spark.createDataFrame(right_rows, "k string, tag string")
+
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, ["k"], how).collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(left, right, ["k"], how=how,
+                                   salt_buckets=8).collect())
+        )
+        assert salted == plain, how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner.*left"):
+        salted_join(left, right, ["k"], how="full")
+
+
 def test_hot_key_census(spark):
     rows = [("hot", i) for i in range(1000)] + [(f"cold{i}", i) for i in range(50)]
     df = spark.createDataFrame(rows, "k string, v int")

@@ -80,6 +80,73 @@ def salted_agg(
     return phase1.groupBy(*key_cols).agg(*final_exprs)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    hot_keys: DataFrame | None = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join for the case AQE's runtime skew splitting
+    does not reach (AQE splits SORT-MERGE join partitions; a disabled
+    AQE, a storage-partitioned join, or a pathological single key can
+    still pin one reducer) and the build side is too large to broadcast.
+
+    Census-detected hot keys (default: hot_key_census over the left
+    side) get a deterministic salt in [0, salt_buckets) on the LEFT;
+    the RIGHT side replicates ONLY its hot-key rows once per salt value
+    (cold keys keep salt 0 — zero replication cost), and the join runs
+    on (keys, _salt). Provably equal to the plain join for ``inner``
+    and ``left`` joins (tested): every left row meets exactly one copy
+    of each matching right row, and an unmatched left row survives a
+    left join exactly once. ``right``/``full`` would emit one unmatched
+    right row PER REPLICA and are rejected.
+
+    Scale shape: the hot keys' quadratic-ish reducer load spreads over
+    ``salt_buckets`` tasks; the census is a map-side-combinable count;
+    the replication factor is |hot right rows| * salt_buckets, which is
+    tiny when hot keys are few (the crawl regime: a handful of mega
+    entities)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "replicated right-side rows would each surface once in a "
+            "right/full join's unmatched output"
+        )
+    if hot_keys is None:
+        hot_keys = hot_key_census(left, keys)
+    hk = F.broadcast(
+        hot_keys.select(*keys).withColumn("_hot", F.lit(True))
+    )
+    lsalted = (
+        left.join(hk, keys, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64(*left.columns), F.lit(salt_buckets)),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("_hot")
+    )
+    rsalted = (
+        right.join(hk, keys, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .drop("_hot")
+        .withColumn("_salt", F.explode("_salts"))
+        .withColumn("_salt", F.col("_salt").cast("int"))
+        .drop("_salts")
+    )
+    return lsalted.join(rsalted, keys + ["_salt"], how).drop("_salt")
+
+
 def repartition_salted(
     df: DataFrame,
     key_cols: list[str],
