@@ -51,16 +51,24 @@ def main_incremental() -> None:
     max_batches = 8
 
     spark = SparkSession.builder.appName("kg_incremental_job").getOrCreate()
+    arrived = len(committed_snapshots(pages_table))
+    if arrived:
+        # the table pins the batch size: slicing and the model artifact
+        # must be identical across invocations, so a changed CLI arg
+        # must not silently skip/re-consume pages or retag later batches
+        # with a different planted model
+        from zh_ner_tf_spark.sources.sinks import snapshot_row_count
+
+        first_batch = snapshot_row_count(pages_table, 1)
+        if first_batch != batch_pages:
+            print(f"BATCH_PAGES_PINNED={first_batch}", file=sys.stderr)
+            batch_pages = first_batch
     # deterministic page universe shared by every invocation: vocab and
     # weights stay IDENTICAL across batches (a real deployment ships a
     # frozen model artifact; the fixture derives it from the universe)
     universe = gen_pages(batch_pages * max_batches, seed=42)
     word2id, weights = _vocab_and_weights(universe)
 
-    try:
-        arrived = len(committed_snapshots(pages_table))
-    except FileNotFoundError:
-        arrived = 0
     if arrived < max_batches:
         batch = universe[arrived * batch_pages:(arrived + 1) * batch_pages]
         df = spark.createDataFrame(
@@ -83,24 +91,11 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("kg_pipeline_job").getOrCreate()
 
-    from zh_ner_tf_spark.fixtures.corpus import planted_weights
-    from zh_ner_tf_spark.fixtures.pages import (
-        gen_pages,
-        oracle_extract_text,
-        pages_schema,
-    )
-    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, pages_schema
     from zh_ner_tf_spark.pipeline import materialize_graph, run_pipeline
 
     rows = gen_pages(n_pages, seed=42)
-    word2id = {"<PAD>": 0}
-    for r in rows:
-        text = r["text"] if r["text"] is not None else oracle_extract_text(r["html"])
-        for ch in text:
-            word2id.setdefault(normalize_token(ch), len(word2id))
-    for t in ("<NUM>", "<ENG>", "<UNK>"):
-        word2id.setdefault(t, len(word2id))
-    weights = planted_weights(word2id)
+    word2id, weights = _vocab_and_weights(rows)
 
     pages = spark.createDataFrame(
         [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],

@@ -346,3 +346,91 @@ def test_incremental_pipeline_matches_full_rebuild(spark, tmp_path):
         == frozen(full["nodes"], ncols)
     assert frozen(read_snapshot(spark, os.path.join(groot, "edges")), ecols) \
         == frozen(full["edges"], ecols)
+
+
+def test_incremental_crash_replay_pins_interrupted_range(spark, tmp_path):
+    """The double-consume hazard: an increment publishes its deltas,
+    crashes before the cursor commit, and NEW pages snapshots arrive
+    before the replay. The intent file pins the replay to the
+    interrupted range (head stays at the crashed increment's target, the
+    newer snapshot waits for the next call), the published deltas resume
+    idempotently (no doubled freqs/weights), and delta compaction after
+    the cursor keeps the tables bounded without changing the result."""
+    import json
+    import os
+
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import run_incremental, run_pipeline
+    from zh_ner_tf_spark.sources.sinks import (
+        committed_snapshots,
+        read_snapshot,
+        snapshot_append,
+    )
+
+    rows = gen_pages(120, seed=42)
+    word2id = {"<PAD>": 0}
+    for row in rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    weights = planted_weights(word2id)
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            schema=pages_schema(),
+        )
+
+    ptable = str(tmp_path / "pages")
+    groot = str(tmp_path / "graph")
+    snapshot_append(df_of(rows[:40]), ptable)            # snap 1
+    run_incremental(spark, ptable, groot, weights, word2id)
+    snapshot_append(df_of(rows[40:80]), ptable)          # snap 2
+    run_incremental(spark, ptable, groot, weights, word2id)
+
+    # simulate: increment 1->2 published its deltas and graph but died
+    # BEFORE the cursor commit; meanwhile snap 3 arrived
+    with open(os.path.join(groot, "_consumer_state.json"), "w") as f:
+        json.dump({"pages_snapshot": 1}, f)
+    with open(os.path.join(groot, "_inflight.json"), "w") as f:
+        json.dump({"from": 1, "to": 2}, f)
+    snapshot_append(df_of(rows[80:]), ptable)            # snap 3
+
+    mrows_before = read_snapshot(spark, os.path.join(groot, "mentions")).count()
+    replay = run_incremental(spark, ptable, groot, weights, word2id)
+    # pinned to the interrupted range, NOT the new head
+    assert replay["pages_snapshot"] == 2 and replay["processed_pages"] == 40
+    # published deltas resumed idempotently: row count unchanged
+    assert read_snapshot(spark, os.path.join(groot, "mentions")).count() \
+        == mrows_before
+
+    # next call consumes snap 3; compaction bounds the delta tables
+    r3 = run_incremental(spark, ptable, groot, weights, word2id,
+                         compact_deltas_every=2)
+    assert r3["pages_snapshot"] == 3 and r3["processed_pages"] == 40
+    assert not os.path.exists(os.path.join(groot, "_inflight.json"))
+    for t in ("mentions", "triples"):
+        p = os.path.join(groot, t)
+        assert committed_snapshots(p) == [committed_snapshots(p)[-1]]  # 1 left
+        snap_file = os.path.join(p, "snapshots",
+                                 f"{committed_snapshots(p)[-1]}.json")
+        with open(snap_file) as f:
+            assert len(json.load(f)["data_dirs"]) == 1  # compacted
+
+    full = run_pipeline(spark, df_of(rows), weights, word2id, lang="zh")
+
+    def frozen(df, cols):
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+        )
+
+    assert frozen(read_snapshot(spark, os.path.join(groot, "nodes")),
+                  ["canon_id", "surface", "etype", "freq"]) \
+        == frozen(full["nodes"], ["canon_id", "surface", "etype", "freq"])
+    assert frozen(read_snapshot(spark, os.path.join(groot, "edges")),
+                  ["src", "dst", "pred", "weight"]) \
+        == frozen(full["edges"], ["src", "dst", "pred", "weight"])

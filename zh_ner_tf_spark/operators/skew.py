@@ -116,8 +116,12 @@ def salted_join(
         )
     if hot_keys is None:
         hot_keys = hot_key_census(left, keys)
+    # distinct defensively: a duplicate key row in a caller-supplied
+    # hot_keys frame would fan out every matching left row before
+    # salting — silently multiplying the join result (hot_keys is tiny
+    # and broadcast, so the distinct is free)
     hk = F.broadcast(
-        hot_keys.select(*keys).withColumn("_hot", F.lit(True))
+        hot_keys.select(*keys).distinct().withColumn("_hot", F.lit(True))
     )
     lsalted = (
         left.join(hk, keys, "left")

@@ -227,6 +227,7 @@ def run_incremental(
     subj_types: tuple[str, ...] = ("PER",),
     obj_types: tuple[str, ...] = ("ORG", "LOC"),
     keep_graph_snapshots: int | None = None,
+    compact_deltas_every: int | None = None,
 ) -> dict:
     """Incremental KG construction over a snapshot table of pages — the
     crawl-consumption loop at 100 TB, where re-tagging the whole corpus
@@ -248,12 +249,22 @@ def run_incremental(
         the ACCUMULATED mentions/triples tables (O(total mentions):
         orders of magnitude smaller than the pages corpus) and
         republishes nodes/edges with replace semantics;
-      * the cursor is committed LAST via atomic rename, so every crash
-        point replays idempotently: killed before the delta publish ->
-        lineage resume; killed after publish but before the cursor ->
-        the rerun's stage name (derived from the snapshot range) hits
-        the fingerprint-idempotent republish path and rebuilds the same
-        graph.
+      * crash safety is a two-phase cursor: an INTENT file recording the
+        (from, to) range is written BEFORE any delta publish, and the
+        cursor commits LAST via atomic rename. A replay with the head
+        unchanged hits the lineage-resume / fingerprint-idempotent
+        paths; a replay where NEW pages snapshots arrived meanwhile is
+        pinned to the interrupted range by the intent file — without it
+        the rerun would re-derive ``snapshot_diff(last, newer_head)``,
+        re-append the already-published delta under a fresh stage name,
+        and permanently double every surface freq and edge weight.
+        Stale intents (their range already committed) are discarded.
+
+    ``compact_deltas_every=N`` compacts + expires the mentions/triples
+    delta tables every N appended snapshots — otherwise each increment
+    adds a data dir and every graph rebuild pays an ever-growing
+    union-of-scans (nodes/edges get the same treatment via
+    ``keep_graph_snapshots``).
 
     Returns {"pages_snapshot", "processed_pages", "up_to_date",
     "graph_sids"}."""
@@ -264,6 +275,7 @@ def run_incremental(
         committed_snapshots,
         read_snapshot,
         snapshot_diff,
+        snapshot_row_count,
         snapshot_stage_with_lineage,
     )
 
@@ -272,10 +284,21 @@ def run_incremental(
         raise FileNotFoundError(f"no committed snapshots under {pages_table}")
     head = snaps[-1]
     state_path = os.path.join(graph_root, "_consumer_state.json")
+    intent_path = os.path.join(graph_root, "_inflight.json")
     last = None
     if os.path.exists(state_path):
         with open(state_path) as f:
             last = json.load(f)["pages_snapshot"]
+    if os.path.exists(intent_path):
+        with open(intent_path) as f:
+            intent = json.load(f)
+        if intent.get("from") == last and intent.get("to") in snaps:
+            # interrupted increment: replay EXACTLY its range even if
+            # newer pages snapshots have arrived (they are picked up by
+            # the next call, after the cursor advances)
+            head = intent["to"]
+        else:
+            os.remove(intent_path)  # stale: its range already committed
     if last == head:
         return {"pages_snapshot": head, "processed_pages": 0,
                 "up_to_date": True, "graph_sids": None}
@@ -291,8 +314,17 @@ def run_incremental(
     triples = triples_from_tagged(
         tagged, ["url", "sent_id"], subj_types=subj_types, obj_types=obj_types
     )
-    n_new = new_pages.count()
+    # increment size from manifest metadata (O(1) driver lookup) — a
+    # count() here would re-scan the whole head snapshot on first run
+    n_new = snapshot_row_count(pages_table, head) - (
+        snapshot_row_count(pages_table, last) if last is not None else 0
+    )
     stage = f"inc-{0 if last is None else last}-{head}"
+    os.makedirs(graph_root, exist_ok=True)
+    tmp_intent = f"{intent_path}.tmp"
+    with open(tmp_intent, "w") as f:
+        json.dump({"from": last, "to": head}, f)
+    os.replace(tmp_intent, intent_path)
     snapshot_stage_with_lineage(
         mentions, spark, os.path.join(graph_root, "mentions"), stage,
         "url", n_buckets,
@@ -328,6 +360,26 @@ def run_incremental(
     with open(tmp, "w") as f:
         json.dump({"pages_snapshot": head}, f)
     os.replace(tmp, state_path)
+    # intent retired AFTER the cursor: a crash between the two leaves a
+    # stale intent (from != new cursor) that the next call discards
+    try:
+        os.remove(intent_path)
+    except FileNotFoundError:
+        pass
+    if compact_deltas_every is not None:
+        # delta-table maintenance LAST, after the cursor committed: a
+        # compaction inside the increment would fold this range's rows
+        # into the compacted dir and then delete the inc stage's lineage
+        # — a crash replay of the range would recompute the stage and
+        # APPEND the rows a second time. After the cursor, the range can
+        # never replay, so folding + expiring its stage dirs is safe.
+        from zh_ner_tf_spark.sources.sinks import snapshot_compact, snapshot_expire
+
+        for t in ("mentions", "triples"):
+            p = os.path.join(graph_root, t)
+            if len(committed_snapshots(p)) >= compact_deltas_every:
+                snapshot_compact(spark, p)
+                snapshot_expire(p, keep_last=1)
     return {"pages_snapshot": head, "processed_pages": n_new,
             "up_to_date": False, "graph_sids": sids}
 
