@@ -296,7 +296,7 @@ def fit_ivf_centroids(
     sample_rows: int = 2048,
     iters: int = 5,
     seed: int = SEED,
-) -> np.ndarray:
+) -> np.ndarray | None:
     """Seeded k-means-lite on a bounded driver-side sample (the standard
     IVF recipe: the codebook is tiny and global; only ASSIGNMENT is
     distributed). Returns L2-normalized centroids [n_centroids, dim]."""
@@ -330,7 +330,7 @@ def fit_ivf_centroids_distributed(
     seed: int = SEED,
     sample_rows: int = 2048,
     dim: int | None = None,
-) -> np.ndarray:
+) -> np.ndarray | None:
     """Distributed k-means for the IVF codebook — the 100 TB recipe
     where a bounded driver-side sample cannot represent the corpus
     (fit_ivf_centroids stays the cheap default at fixture scale).
@@ -352,7 +352,11 @@ def fit_ivf_centroids_distributed(
     ordering across partitions makes the low bits run-dependent, so
     gates on this path are QUALITY gates (assignment agreement /
     within-cluster similarity / the nprobe=C == brute-force invariant),
-    not byte equality — see tests/test_graph_dedup_ops.py."""
+    not byte equality — see tests/test_graph_dedup_ops.py.
+
+    Returns None for an empty corpus (same contract as
+    fit_ivf_centroids); ivf_topk treats a None codebook as "fall back
+    to the exact path"."""
     spark = emb.sparkSession
     cent = fit_ivf_centroids(emb, n_centroids, vec_col,
                              sample_rows=sample_rows, iters=2, seed=seed)
@@ -561,8 +565,14 @@ def ann_candidate_pairs(
     None for an empty corpus with unknown dim (callers fall back to the
     exact path)."""
     if dim is None:
-        first = corpus.select(F.size(vec_col).alias("d")).first()
-        if first is None:
+        # skip null embeddings: size(NULL) is NULL, so probing the raw
+        # first row would TypeError on int(None) instead of falling back
+        first = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d"))
+            .first()
+        )
+        if first is None or first["d"] is None:
             return None
         dim = int(first["d"])
     n_bits, n_bands = _resolve_srp_family(corpus, n_bits, n_bands, n_rows)

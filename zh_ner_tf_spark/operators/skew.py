@@ -23,6 +23,21 @@ from pyspark.sql import functions as F
 
 from zh_ner_tf_spark.config import DEFAULT_SALT_BUCKETS, HOT_KEY_FACTOR
 
+# Working-column names the salted operators inject and later drop. A
+# caller column with one of these names would be silently clobbered by
+# withColumn / dropped by the final .drop — fail loudly instead.
+_RESERVED = ("_hot", "_salt", "_salts")
+
+
+def _check_reserved(*frames: DataFrame) -> None:
+    for df in frames:
+        clash = [c for c in df.columns if c in _RESERVED]
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with salted-operator "
+                f"working columns {_RESERVED}; rename them first"
+            )
+
 
 def hot_key_census(
     df: DataFrame, key_cols: list[str], factor: int = HOT_KEY_FACTOR
@@ -52,9 +67,10 @@ def salted_agg(
     salt_on: expression to derive the salt from (defaults to a hash of
     all columns via spark_partition_id-free deterministic xxhash64).
     """
-    salt = (
-        (salt_on if salt_on is not None else F.xxhash64(*df.columns))
-        % salt_buckets
+    _check_reserved(df)
+    salt = F.pmod(
+        salt_on if salt_on is not None else F.xxhash64(*df.columns),
+        F.lit(salt_buckets),
     ).alias("_salt")
     partial_exprs = []
     final_exprs = []
@@ -108,6 +124,7 @@ def salted_join(
     the replication factor is |hot right rows| * salt_buckets, which is
     tiny when hot keys are few (the crawl regime: a handful of mega
     entities)."""
+    _check_reserved(left, right)
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how='inner'|'left', got {how!r}: "
@@ -161,12 +178,14 @@ def repartition_salted(
     cold keys keep salt 0 (co-located), hot keys spread over
     ``salt_buckets`` partitions. Downstream per-key aggregation must be
     two-phase (see salted_agg)."""
+    _check_reserved(df)
     hk = F.broadcast(hot_keys.select(*key_cols).withColumn("_hot", F.lit(True)))
     joined = df.join(hk, key_cols, "left")
     salted = joined.withColumn(
         "_salt",
         F.when(
-            F.col("_hot").isNotNull(), F.xxhash64(*df.columns) % salt_buckets
+            F.col("_hot").isNotNull(),
+            F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)),
         ).otherwise(F.lit(0)),
     ).drop("_hot")
     return salted.repartition(*[F.col(c) for c in key_cols], F.col("_salt"))

@@ -93,6 +93,34 @@ def _write_stage_sidecar(out_dir: str, manifest_dir: str, stage: str) -> None:
         )
 
 
+def _is_empty_marker_layout(out_dir: str) -> bool:
+    """True iff ``out_dir`` looks exactly like the root-level
+    empty-input marker this module writes: only Spark bookkeeping files
+    and parquet parts whose footers total ZERO rows, and no partition
+    subdirectories. Used to migrate pre-sidecar marker dirs through the
+    supersede delete without weakening the guard for real data."""
+    names = os.listdir(out_dir)
+    parquet_parts = []
+    for n in names:
+        full = os.path.join(out_dir, n)
+        if os.path.isdir(full):
+            return False  # a partitioned layout is never the marker
+        if n.endswith(".parquet") and n.startswith("part-"):
+            parquet_parts.append(full)
+        elif n == "_SUCCESS" or n.startswith("."):
+            continue  # bookkeeping (_SUCCESS, .crc, hidden temp files)
+        else:
+            return False
+    try:
+        import pyarrow.parquet as pq
+
+        return all(
+            pq.ParquetFile(p).metadata.num_rows == 0 for p in parquet_parts
+        )
+    except Exception:
+        return False  # unreadable footer: not provably the marker
+
+
 def _check_stage_sidecar(out_dir: str, manifest_dir: str, stage: str) -> None:
     """Refuse to delete a directory this (out_dir, manifest_dir) pairing
     does not own. run_stage_with_lineage takes the two paths
@@ -102,11 +130,18 @@ def _check_stage_sidecar(out_dir: str, manifest_dir: str, stage: str) -> None:
     ownership proof the delete requires."""
     sidecar = os.path.join(out_dir, _STAGE_SIDECAR)
     if not os.path.exists(sidecar):
+        # Migration path for out_dirs written by pre-sidecar versions of
+        # this code (ADVICE r5): the ONLY legitimate pre-sidecar shape
+        # reaching this delete is the root-level empty-input marker — a
+        # flat dir of Spark bookkeeping + zero-row parquet, no partition
+        # subdirs. Accept exactly that; anything else still hard-fails.
+        if _is_empty_marker_layout(out_dir):
+            return
         raise ValueError(
             f"refusing to delete {out_dir}: no {_STAGE_SIDECAR} pairing it "
-            f"with a lineage manifest dir — it was not written by "
-            f"run_stage_with_lineage (or predates the sidecar); remove it "
-            f"manually if it is really a superseded stage dir"
+            f"with a lineage manifest dir and it is not a bare empty-input "
+            f"marker — it was not written by run_stage_with_lineage; remove "
+            f"it manually if it is really a superseded stage dir"
         )
     with open(sidecar) as f:
         meta = json.load(f)

@@ -188,10 +188,12 @@ def _dir_row_count(data_dir: str) -> int:
 
 def _dir_fingerprint(data_dir: str) -> str:
     """Content fingerprint of a data directory: md5 over the sorted
-    (relative path, size) listing. Cheap (no data reads) and sufficient
-    to detect the in-place-rewrite shapes this store produces (a
-    rewritten parquet file virtually never keeps byte-identical size
-    AND identical part-file name, which embeds a task UUID)."""
+    (relative path, size, mtime_ns) listing. Cheap (no data reads);
+    path+size alone already catches the rewrite shapes this store
+    produces (a rewritten part file virtually never keeps identical
+    size AND its task-UUID name), and mtime_ns closes the residual
+    same-name-same-size rewrite hole (ADVICE r5) — a rewrite that also
+    forges mtimes is outside this store's threat model."""
     import hashlib
 
     entries = []
@@ -199,8 +201,10 @@ def _dir_fingerprint(data_dir: str) -> str:
         for f in sorted(files):
             full = os.path.join(root, f)
             try:
+                st = os.stat(full)
                 entries.append(
-                    (os.path.relpath(full, data_dir), os.path.getsize(full))
+                    (os.path.relpath(full, data_dir), st.st_size,
+                     st.st_mtime_ns)
                 )
             except OSError:
                 continue  # file vanished mid-walk (concurrent cleanup)
