@@ -434,3 +434,214 @@ def test_incremental_crash_replay_pins_interrupted_range(spark, tmp_path):
     assert frozen(read_snapshot(spark, os.path.join(groot, "edges")),
                   ["src", "dst", "pred", "weight"]) \
         == frozen(full["edges"], ["src", "dst", "pred", "weight"])
+
+
+def test_delta_graph_tail_matches_full_on_merging_clusters(spark, tmp_path):
+    """Adversarial delta-canonicalization gates the planted-page corpus
+    cannot exercise (its 9 distinct surfaces share zero similar pairs):
+
+      * increment 2 introduces a CHAIN of bridge surfaces whose
+        similarity links reach members of two DIFFERENT increment-1
+        clusters — the delta CC (prior component edges ∪ new pairs)
+        must merge the old components;
+      * a new (mention, etype) row lands on an EXISTING surface and
+        (via a forced id function) takes over as the surface's min-id
+        rep — cluster labels must follow the new rep even though no new
+        pair was discovered for that surface;
+      * repeated old mentions and a repeated old triple — freq and edge
+        weights must merge by summation.
+
+    Gates: nodes/edges equal graph_from_mentions over the accumulated
+    input after EACH increment, and the increment-2 stats prove the
+    O(new + touched) shape: CC input = prior components + new pairs
+    only, and verified pairs computed = full pair set minus the two
+    frozen old-old pairs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.operators.blocking import block_entities
+    from zh_ner_tf_spark.pipeline import _delta_graph_tail, graph_from_mentions
+
+    A1 = "acme corporation international group x1"
+    A2 = "acme corporation international group x2"
+    B1 = "zeta industries holdings limited y1"
+    B2 = "zeta industries holdings limited y2"
+    words = "acme corporation international group zeta industries holdings limited".split()
+    bridges = [" ".join(words[i:i + 6]) for i in range(3)]
+
+    # forced id order: LOC ids sort below everything else, so the
+    # (A1, LOC) row added in increment 2 becomes A1's rep
+    def id_expr(m, e):
+        return F.abs(F.xxhash64(m, e)).cast("bigint") % F.lit(10**12) + F.when(
+            e == F.lit("LOC"), F.lit(0)
+        ).otherwise(F.lit(10**13))
+
+    def mdf(rows):
+        return spark.createDataFrame(rows, "mention string, etype string")
+
+    def tdf(rows):
+        return spark.createDataFrame(rows, "subj string, obj string, pred string")
+
+    m1 = [(A1, "ORG")] * 3 + [(A2, "ORG")] * 2 + [(B1, "ORG")] * 2 + [
+        (B2, "ORG"),
+        ("john smith", "PER"),
+        ("john smith", "PER"),
+        ("mary jones", "PER"),
+        ("paris", "LOC"),
+    ]
+    t1 = [
+        ("john smith", A1, "employment"),
+        ("john smith", A1, "employment"),
+        ("john smith", B1, "employment"),
+        ("mary jones", "paris", "located_in"),
+    ]
+    m2 = (
+        [(b, "ORG") for b in bridges]
+        + [(A1, "ORG")] * 2          # freq merge on an old surface
+        + [(A1, "LOC")]              # rep takeover for surface A1
+        + [("new person", "PER")]    # new singleton
+    )
+    t2 = [
+        ("john smith", A1, "employment"),   # weight merge with t1
+        ("new person", bridges[0], "employment"),
+    ]
+
+    groot = str(tmp_path / "graph")
+    subj, obj = ("PER",), ("ORG", "LOC")
+
+    def frozen(df, cols):
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+        )
+
+    ncols = ["canon_id", "surface", "etype", "freq"]
+    ecols = ["src", "dst", "pred", "weight"]
+
+    none_sids = {t: None for t in ("surfaces", "string_components", "triple_aggs")}
+    nodes1, edges1, s1 = _delta_graph_tail(
+        spark, groot, mdf(m1), tdf(t1), "inc-0-1", 8, subj, obj,
+        none_sids, id_expr=id_expr, collect_stats=True,
+    )
+    fn1, fe1 = graph_from_mentions(mdf(m1), tdf(t1), subj_types=subj,
+                                   obj_types=obj, id_expr=id_expr)
+    assert frozen(nodes1, ncols) == frozen(fn1, ncols)
+    assert frozen(edges1, ecols) == frozen(fe1, ecols)
+    # increment 1: A and B are SEPARATE clusters (plus singletons)
+    canon1 = {r["surface"]: r["canon_id"] for r in nodes1.collect()
+              if r["etype"] == "ORG"}
+    assert canon1[A1] == canon1[A2] and canon1[B1] == canon1[B2]
+    assert canon1[A1] != canon1[B1]
+    assert s1["new_pairs"] == 2 and s1["prior_comp_edges"] == 0
+
+    from zh_ner_tf_spark.sources.sinks import committed_snapshots
+
+    sids = {
+        t: committed_snapshots(os.path.join(groot, "state", t))[-1]
+        for t in none_sids
+    }
+    nodes2, edges2, s2 = _delta_graph_tail(
+        spark, groot, mdf(m2), tdf(t2), "inc-1-2", 8, subj, obj,
+        sids, id_expr=id_expr, collect_stats=True,
+    )
+    fn2, fe2 = graph_from_mentions(mdf(m1 + m2), tdf(t1 + t2),
+                                   subj_types=subj, obj_types=obj,
+                                   id_expr=id_expr)
+    assert frozen(nodes2, ncols) == frozen(fn2, ncols)
+    assert frozen(edges2, ecols) == frozen(fe2, ecols)
+
+    # the bridge chain merged A and B into one cluster, labeled by the
+    # LOC takeover row (forced smallest id on surface A1); A1's ORG row
+    # is no longer its surface's rep, so — per the pinned full-rebuild
+    # semantics — it stays un-canonicalized under its own id
+    rows2 = nodes2.collect()
+    canon2 = {(r["surface"], r["etype"]): r["canon_id"] for r in rows2}
+    merged = {canon2[(s, "ORG")] for s in (A2, B1, B2, *bridges)}
+    merged.add(canon2[(A1, "LOC")])
+    assert merged == {canon2[(A1, "LOC")]}
+    assert canon2[(A1, "ORG")] not in merged
+
+    # O(new + touched) cost shape: CC ran over prior components + new
+    # pairs only, and the verified-pair work equals the full pair set
+    # minus the two frozen old-old pairs ((A1,A2) and (B1,B2))
+    assert s2["cc_edge_rows"] == s2["new_pairs"] + s2["prior_comp_edges"]
+    assert s2["prior_comp_edges"] == 4  # A1 A2 B1 B2 were clustered
+    assert s2["new_surfaces"] == 4     # 3 bridges + "new person"
+    all_surfaces = mdf(m1 + m2).select("mention", "etype").distinct()
+    full_pairs = block_entities(
+        all_surfaces.select(
+            id_expr(F.col("mention"), F.col("etype")).alias("entity_id"),
+            F.col("mention").alias("surface"),
+        )
+    ).count()
+    assert s2["new_pairs"] == full_pairs - 2
+
+
+def test_delta_tail_bootstraps_after_full_tail(spark, tmp_path):
+    """Migration path: increments consumed with tail="full" leave no
+    delta state tables. The first tail="delta" call detects the stale
+    state (state_snapshot cursor field ≠ last), BOOTSTRAPS the state
+    tables from the accumulated mentions/triples in one O(total) pass,
+    and produces the same graph as a full rebuild; the NEXT delta call
+    runs the O(new + touched) path (no bootstrap flag)."""
+    import os
+
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import run_incremental, run_pipeline
+    from zh_ner_tf_spark.sources.sinks import read_snapshot, snapshot_append
+
+    rows = gen_pages(90, seed=7)
+    word2id = {"<PAD>": 0}
+    for row in rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    weights = planted_weights(word2id)
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            schema=pages_schema(),
+        )
+
+    ptable = str(tmp_path / "pages")
+    groot = str(tmp_path / "graph")
+    snapshot_append(df_of(rows[:30]), ptable)
+    r1 = run_incremental(spark, ptable, groot, weights, word2id, tail="full")
+    assert r1["tail_stats"]["tail_mode"] == "full"
+    assert not os.path.exists(os.path.join(groot, "state", "surfaces"))
+
+    snapshot_append(df_of(rows[30:60]), ptable)
+    r2 = run_incremental(spark, ptable, groot, weights, word2id,
+                         collect_tail_stats=True)
+    assert r2["tail_stats"]["tail_mode"] == "delta"
+    assert r2["tail_stats"].get("bootstrap") is True
+    # bootstrap consumed the ACCUMULATED tables: every surface was new
+    assert r2["tail_stats"]["new_surfaces"] \
+        == r2["tail_stats"]["distinct_surfaces"]
+
+    snapshot_append(df_of(rows[60:]), ptable)
+    r3 = run_incremental(spark, ptable, groot, weights, word2id,
+                         collect_tail_stats=True)
+    assert "bootstrap" not in r3["tail_stats"]
+    # steady state: the tail saw only genuinely-new strings
+    assert r3["tail_stats"]["new_surfaces"] \
+        < r3["tail_stats"]["distinct_surfaces"]
+
+    full = run_pipeline(spark, df_of(rows), weights, word2id, lang="zh")
+
+    def frozen(df, cols):
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+        )
+
+    ncols = ["canon_id", "surface", "etype", "freq"]
+    ecols = ["src", "dst", "pred", "weight"]
+    assert frozen(read_snapshot(spark, os.path.join(groot, "nodes")), ncols) \
+        == frozen(full["nodes"], ncols)
+    assert frozen(read_snapshot(spark, os.path.join(groot, "edges")), ecols) \
+        == frozen(full["edges"], ecols)

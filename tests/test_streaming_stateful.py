@@ -287,3 +287,78 @@ def test_stream_dedup_groups_match_batch(spark, tmp_path):
         for r in stream_dedup_totals_batch(docs).collect()
     }
     assert twin == want
+
+
+def test_stream_dedup_ttl_evicts_and_reopens(spark, tmp_path):
+    """State-TTL knob for streaming exact-dedup (VERDICT r5 #6): with a
+    processing-time TTL, (1) counting semantics while state is live
+    match the batch twin, (2) an idle group's state is EVICTED after
+    the TTL (the eviction itself emits nothing), and (3) a revisit
+    after eviction RE-OPENS the group from zero — fresh keep_id, n_dups
+    restarting at 1, never resuming (double-counting) the evicted
+    totals. Three availableNow runs share one checkpoint; the 1.2 s
+    sleep versus the 500 ms TTL makes the eviction deterministic (the
+    timeout fires during the next run's micro-batch)."""
+    import time
+
+    import pandas as pd
+
+    from zh_ner_tf_spark.streaming.stateful import (
+        stream_dedup_groups,
+        stream_dedup_totals_batch,
+    )
+
+    path = str(tmp_path / "docs_stream")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    def add_file(rows, name):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def run_once(name):
+        # foreachBatch sink: the memory sink cannot RESUME from a
+        # checkpoint, and this test restarts three queries against one
+        rows = []
+
+        def sink(df, _epoch):
+            rows.extend(df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(path)
+        q = (
+            stream_dedup_groups(stream, state_ttl_ms=500)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return rows
+
+    batch1 = [(1, "aaa"), (2, "aaa"), (3, "ccc")]
+    add_file(batch1, "f1")
+    out1 = {r["content_hash"]: (r["keep_id"], r["n_dups"])
+            for r in run_once("dedup_ttl_r1")}
+    # live-state counting equals the batch twin
+    twin1 = {
+        r["content_hash"]: (r["keep_id"], r["n_dups"])
+        for r in stream_dedup_totals_batch(
+            spark.createDataFrame(pd.DataFrame(batch1, columns=["doc_id", "text"]))
+        ).collect()
+    }
+    assert out1 == twin1
+    (hash_a,) = [h for h, (k, _) in out1.items() if k == 1]
+
+    time.sleep(1.2)  # let the 500 ms TTL lapse before the next batch
+    add_file([(10, "bbb")], "f2")
+    out2 = run_once("dedup_ttl_r2")
+    # the expired groups are evicted silently: only the new content
+    # emits in run 2
+    assert [(r["keep_id"], r["n_dups"]) for r in out2] == [(10, 1)]
+
+    add_file([(20, "aaa")], "f3")
+    out3 = {r["content_hash"]: (r["keep_id"], r["n_dups"])
+            for r in run_once("dedup_ttl_r3")}
+    # revisit after eviction: the group re-opened from zero
+    assert out3[hash_a] == (20, 1)

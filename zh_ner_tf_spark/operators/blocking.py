@@ -307,3 +307,114 @@ def block_entities(
         .filter(F.col("jaccard") >= threshold)
         .select("src", "dst", "jaccard")
     )
+
+
+def surface_band_rows(
+    strings: DataFrame,
+    surface_col: str = "surface",
+    k: int = MINHASH_SHINGLE_K,
+    n_hashes: int = MINHASH_NUM_HASHES,
+    n_bands: int = MINHASH_BANDS,
+    seed: int = SEED,
+) -> DataFrame:
+    """Distinct surface strings -> exploded (surface, shingles, band_id,
+    band_value) rows, via the SAME column expressions block_entities
+    bands with (shingle_hashes -> minhash_signature -> add_bands).
+
+    Every step is a deterministic pure function of the string alone, so
+    band rows for ANY corpus slice can be (re)computed as a narrow
+    zero-shuffle projection — no stored sketch state. This is what makes
+    the incremental graph tail possible: a surface's band values never
+    change as the corpus grows, so the verified-similar pair set over
+    OLD strings is frozen and only pairs touching NEW strings need
+    computing (delta_surface_pairs)."""
+    with_sh = strings.select(
+        F.col(surface_col).alias("surface"),
+        shingle_hashes(F.col(surface_col), k).alias("shingles"),
+    )
+    return add_bands(
+        with_sh.select(
+            "surface",
+            "shingles",
+            minhash_signature(F.col("shingles"), n_hashes, seed).alias(
+                "signature"
+            ),
+        ),
+        "signature",
+        n_bands,
+        n_hashes,
+    ).select("surface", "shingles", "band_id", "band_value")
+
+
+def delta_surface_pairs(
+    all_strings: DataFrame,
+    new_strings: DataFrame,
+    surface_col: str = "surface",
+    k: int = MINHASH_SHINGLE_K,
+    n_hashes: int = MINHASH_NUM_HASHES,
+    n_bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    seed: int = SEED,
+) -> DataFrame:
+    """Verified similar string pairs (sa < sb, jaccard) that involve at
+    least one NEW surface — the incremental complement of
+    block_entities' full self-join.
+
+    Equality contract (the delta tail's correctness hinges on it):
+    band values and the rounded-Jaccard >= threshold gate are the same
+    expressions block_entities uses, and a band value is a function of
+    the string alone — adding strings to the corpus can never create or
+    destroy a candidate pair between two OLD strings. Hence
+
+      pairs(all) == pairs(old)  ∪  delta_surface_pairs(all, new)
+
+    as sets of unordered string pairs.
+
+    Scale shape: the new side is one crawl increment's new DISTINCT
+    surfaces (usually orders of magnitude smaller than the corpus), so
+    the band join is a small-side hash join against a narrow projection
+    of the full string set — no stored sketch table, no self-join.
+    Exact-duplicate strings are already collapsed (inputs are distinct
+    strings), which bounds band-bucket occupancy the same way
+    block_entities' dedup step does; AQE's skew split covers residual
+    hot buckets."""
+    nb = surface_band_rows(new_strings, surface_col, k, n_hashes, n_bands,
+                           seed).select(
+        F.col("surface").alias("_sa"),
+        F.col("shingles").alias("_sh_a"),
+        "band_id",
+        "band_value",
+    )
+    ab = surface_band_rows(all_strings, surface_col, k, n_hashes, n_bands,
+                           seed).select(
+        F.col("surface").alias("_sb"),
+        F.col("shingles").alias("_sh_b"),
+        "band_id",
+        "band_value",
+    )
+    pairs = (
+        nb.join(ab, ["band_id", "band_value"])
+        .filter(F.col("_sa") != F.col("_sb"))
+        .select(
+            F.least("_sa", "_sb").alias("sa"),
+            F.greatest("_sa", "_sb").alias("sb"),
+            # least/greatest on the shingle arrays would reorder by array
+            # comparison, not by surface — pick by the surface order
+            F.when(F.col("_sa") < F.col("_sb"), F.col("_sh_a"))
+            .otherwise(F.col("_sh_b"))
+            .alias("sh_a"),
+            F.when(F.col("_sa") < F.col("_sb"), F.col("_sh_b"))
+            .otherwise(F.col("_sh_a"))
+            .alias("sh_b"),
+        )
+        # a pair can surface once per shared band, and twice more when
+        # BOTH sides are new (discovered from either direction)
+        .dropDuplicates(["sa", "sb"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("sa", "sb", "jaccard")
+    )

@@ -182,6 +182,17 @@ def _resolve_srp_family(
     return srp_params(n_rows, n_bands)
 
 
+# Above this dim * n_bits product the corpus-side banding switches from
+# inlined-literal JVM expressions to the Arrow GEMM path: each plane dot
+# inlines dim float literals and there are n_bits of them per row, so at
+# production embedding widths (768-4096 dims x 40+ bits ≈ 30k-200k
+# literal doubles) plan analysis + codegen dominates before any data is
+# read (VERDICT r5). The fixture families (dim 64 x ≤24 bits ≈ 1.5k)
+# stay far below the threshold, so every oracle-gated query keeps the
+# value-exact JVM plan.
+SRP_ARROW_GEMM_THRESHOLD = 32768
+
+
 def _srp_bands(
     df: DataFrame,
     key_col: str,
@@ -191,6 +202,7 @@ def _srp_bands(
     n_bands: int,
     out_key: str,
     carry_vec: bool = False,
+    impl: str | None = None,
 ) -> DataFrame:
     """(out_key[, _v_<out_key>], band_id, band_value) rows — the shared
     banding shape consumed by banded_pairs_salted and the ann bucket
@@ -199,11 +211,30 @@ def _srp_bands(
     slicing a packed signature but NOT capped by the 63-bit bigint, so
     the adaptive family can grow past 62 total planes at crawl scale.
 
+    ``impl``: "jvm" (inlined plane-literal Column expressions — the
+    value-exact form the DuckDB oracle replicates), "arrow" (one
+    [B, n_bits] GEMM per Arrow batch — constant plan width at any dim),
+    or None to pick by ``dim * n_bits`` vs SRP_ARROW_GEMM_THRESHOLD.
+    The two are parity-pinned (tests); the only divergence window is a
+    plane dot within one ulp of 0.0 flipping sign between NumPy's
+    blocked dot and the JVM fold — same caveat as _query_probe_bands,
+    acceptable because families wide enough to trigger the Arrow path
+    are approximate-recall regimes, never oracle gates.
+
     NULL vectors emit no band rows: without the filter every NULL dot
     product's CASE falls to the 0 branch and all null-embedding rows
     pile into bucket 0 of every band — a bogus mega-bucket at crawl
     scale (null embeddings are common in a partially-embedded corpus)
     that pairs unrelated rows and feeds NULL cosines downstream."""
+    if impl is None:
+        dim = len(planes[0]) if planes else 0
+        impl = "arrow" if dim * n_bits > SRP_ARROW_GEMM_THRESHOLD else "jvm"
+    if impl == "arrow":
+        return _srp_bands_arrow(
+            df, key_col, vec_col, planes, n_bits, n_bands, out_key, carry_vec
+        )
+    if impl != "jvm":
+        raise ValueError(f"impl must be 'jvm', 'arrow' or None, got {impl!r}")
     df = df.filter(F.col(vec_col).isNotNull())
     bits_per_band = n_bits // n_bands
 
@@ -233,6 +264,62 @@ def _srp_bands(
                 for b in range(n_bands)
             ])
         ).alias("bv"),
+    ).select(*keep, "bv.band_id", "bv.band_value")
+
+
+def _srp_bands_arrow(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    n_bits: int,
+    n_bands: int,
+    out_key: str,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Arrow-GEMM form of _srp_bands: per Arrow batch, ONE [B, n_bits]
+    matrix product computes every plane dot, signs pack into band
+    values with a vectorized reshape-dot — the plan carries a single
+    UDF node regardless of dim or bit count (the query probe path,
+    _query_probe_bands, already has this shape). Null vectors emit an
+    empty band array (explode drops them), matching the JVM path's
+    isNotNull filter."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_np = np.asarray(planes, dtype=np.float64)
+    r = n_bits // n_bands
+
+    @pandas_udf("array<struct<band_id: bigint, band_value: bigint>>")
+    def _bands(vecs: pd.Series) -> pd.Series:
+        weights = 1 << np.arange(r, dtype=np.int64)
+        nn = vecs.notna()
+        dense = np.array(vecs[nn].tolist(), dtype=np.float64)
+        if len(dense):
+            bits = (dense @ planes_np.T > 0).astype(np.int64)  # [B, n_bits]
+            # planes beyond n_bands*r are ignored, like the JVM path's
+            # per-band group slicing when n_bits % n_bands != 0
+            vals = bits[:, : n_bands * r].reshape(len(dense), n_bands, r) @ weights
+        else:
+            vals = np.empty((0, n_bands), dtype=np.int64)
+        out: list = []
+        di = 0
+        for ok in nn:
+            if not ok:
+                out.append([])
+                continue
+            out.append(
+                [{"band_id": b, "band_value": int(vals[di, b])}
+                 for b in range(n_bands)]
+            )
+            di += 1
+        return pd.Series(out, dtype=object)
+
+    cols = [F.col(key_col).alias(out_key)]
+    if carry_vec:
+        cols.append(F.col(vec_col).alias(f"_v_{out_key}"))
+    keep = [out_key] + ([f"_v_{out_key}"] if carry_vec else [])
+    return df.select(
+        *cols, F.explode(_bands(F.col(vec_col))).alias("bv")
     ).select(*keep, "bv.band_id", "bv.band_value")
 
 
@@ -340,15 +427,24 @@ def fit_ivf_centroids_distributed(
 
       * broadcast the current codebook (C x dim floats — the only
         driver-side state),
-      * ONE Arrow pass assigns every row its nearest centroid,
-      * an element-wise sum aggregation (dim spark-native SUM columns
-        over the L2-normalized vectors) with MAP-SIDE partial
-        aggregation — the shuffle carries C x dim partials per
-        partition, never raw vectors,
+      * ONE Arrow pass (mapInPandas) assigns every row its nearest
+        centroid AND accumulates that partition's [C, dim] sum matrix
+        and C counts as plain ndarrays, emitting one (cid, n, sum)
+        row per non-empty centroid per partition — the shuffle carries
+        at most partitions x C partial rows, never raw vectors,
+      * an applyInPandas combine per cid folds the partials to C rows,
       * the driver normalizes the C summed means into the next
         codebook (an emptied centroid keeps its previous position).
 
-    Cost per iteration: one corpus scan + a C-row shuffle. Float-sum
+    The partial matrix lives INSIDE the UDF, so the query plan stays
+    constant-width at any embedding dim — the previous shape (one
+    spark-native SUM column per dimension) compiled dim aggregate
+    expressions and would blow past codegen method limits at
+    production dims (768-4096; VERDICT r5). Quality gates run at
+    dim=512 to pin this (tests/test_graph_dedup_ops.py).
+
+    Cost per iteration: one corpus scan + a tiny partial shuffle.
+    Float-sum
     ordering across partitions makes the low bits run-dependent, so
     gates on this path are QUALITY gates (assignment agreement /
     within-cluster similarity / the nprobe=C == brute-force invariant),
@@ -373,32 +469,58 @@ def fit_ivf_centroids_distributed(
         lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)),
     )
     staged = emb.filter(F.col(vec_col).isNotNull()).select(vn.alias("_vn"))
+    partial_schema = "cid int, n long, s array<double>"
+
+    def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum(np.array(pdf["s"].tolist(), dtype=np.float64), axis=0)
+        return pd.DataFrame(
+            {"cid": [int(pdf["cid"].iloc[0])], "n": [int(pdf["n"].sum())],
+             "s": [s]}
+        )
+
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cent)
-        assign = _ivf_assign_udf(bc, 1)
         agg = (
-            staged.select(
-                F.element_at(assign(F.col("_vn")), 1).alias("cid"), "_vn"
-            )
+            staged.mapInPandas(_ivf_partial_sums(bc), partial_schema)
             .groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("_vn", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
+            .applyInPandas(_combine, partial_schema)
             .collect()  # C rows — bounded driver state by construction
         )
         nxt = cent.copy()
         for r in agg:
-            c = int(r["cid"])
-            mean = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
-            nxt[c] = mean
+            nxt[int(r["cid"])] = np.asarray(r["s"], dtype=np.float64) / r["n"]
         nxt /= np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12)
         cent = nxt
         bc.unpersist()
     return cent
+
+
+def _ivf_partial_sums(centroids_bc):
+    """mapInPandas generator: per-partition nearest-centroid assignment
+    + [C, dim] partial-sum accumulation in one ndarray, emitted as one
+    (cid, n, sum-vector) row per non-empty centroid. The C x dim state
+    never enters the query plan — constant plan width at any dim."""
+
+    def gen(batches):
+        cent = centroids_bc.value                       # [C, dim] normalized
+        counts = np.zeros(cent.shape[0], dtype=np.int64)
+        sums = np.zeros_like(cent, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["_vn"].tolist(), dtype=np.float64)
+            assign = (x @ cent.T).argmax(axis=1)
+            counts += np.bincount(assign, minlength=len(counts))
+            for c in np.unique(assign):                 # <= C iterations
+                sums[c] += x[assign == c].sum(axis=0)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {"cid": nz.astype(np.int32), "n": counts[nz],
+                 "s": [sums[c] for c in nz]}
+            )
+
+    return gen
 
 
 def _ivf_assign_udf(centroids_bc, nprobe: int):

@@ -120,7 +120,34 @@ def _update_dedup(key, pdf_iter, state: GroupState):
     )
 
 
-def stream_dedup_groups(docs: DataFrame) -> DataFrame:
+def _update_dedup_ttl(ttl_ms: int):
+    """_update_dedup with a processing-time TTL: every touch re-arms
+    the timeout; an expired group's state is dropped (the function is
+    invoked once with hasTimedOut and no rows), and a LATER revisit
+    re-opens the group from zero — it re-emits with a fresh keep_id /
+    n_dups rather than resuming the evicted counts."""
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        keep, n = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            m = int(pdf["doc_id"].min())
+            keep = m if keep is None else min(keep, m)
+        state.update((keep, n))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {"content_hash": [key[0]], "keep_id": [keep], "n_dups": [n]}
+        )
+
+    return update
+
+
+def stream_dedup_groups(
+    docs: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming exact deduplication: a document stream becomes running
     per-content-hash groups (keep_id = min doc id seen so far, n_dups =
     running count) via applyInPandasWithState keyed on md5(text). The
@@ -134,16 +161,31 @@ def stream_dedup_groups(docs: DataFrame) -> DataFrame:
     O(distinct contents) x 16 bytes — the streaming twin of the batch
     dedup's "shuffle carries the hash, not the document" property. A
     crawl consumer keeps only the first-seen copy by anti-joining
-    arrivals against emitted (content_hash, keep_id)."""
+    arrivals against emitted (content_hash, keep_id).
+
+    ``state_ttl_ms``: None (default) keeps state forever — exact dedup,
+    O(distinct contents) state, the batch-twin-equivalent semantics the
+    tests and driver row pin. A production crawl that cannot hold every
+    digest forever sets a TTL: each touch re-arms a processing-time
+    timeout, an idle group's 16-byte state row is evicted, and a
+    revisit AFTER eviction re-opens the group (re-emitting it as new —
+    dedup becomes exact-within-TTL-window). Timeouts fire during
+    micro-batch processing, including the first batch after a restart
+    from checkpoint."""
     hashed = docs.select(
         F.md5(F.col("text")).alias("content_hash"), F.col("doc_id")
     )
+    if state_ttl_ms is None:
+        fn, timeout = _update_dedup, GroupStateTimeout.NoTimeout
+    else:
+        fn = _update_dedup_ttl(int(state_ttl_ms))
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return hashed.groupBy("content_hash").applyInPandasWithState(
-        _update_dedup,
+        fn,
         outputStructType=_DEDUP_OUT_SCHEMA,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
