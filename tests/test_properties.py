@@ -222,9 +222,11 @@ def test_srp_params_invariants(n_rows):
 )
 @settings(max_examples=40, deadline=None)
 def test_dir_fingerprint_detects_any_listing_change(tmp_path_factory, files):
-    """_dir_fingerprint is a pure function of the (relpath, size)
-    listing: identical trees agree, and adding a file or changing any
-    file's SIZE changes the fingerprint."""
+    """_dir_fingerprint is a pure function of the (relpath, size,
+    mtime_ns) listing: recomputing over an UNTOUCHED tree agrees (the
+    idempotent re-commit path), and adding a file, growing a file, or
+    an in-place rewrite that preserves name AND size (the ADVICE-r5
+    hole, caught via mtime) all change the fingerprint."""
     import os
 
     from zh_ner_tf_spark.sources.sinks import _dir_fingerprint
@@ -240,16 +242,28 @@ def test_dir_fingerprint_detects_any_listing_change(tmp_path_factory, files):
     d1 = base / "a"; d2 = base / "b"
     d1.mkdir(); d2.mkdir()
     materialize(d1, files); materialize(d2, files)
-    assert _dir_fingerprint(str(d1)) == _dir_fingerprint(str(d2))
+    # recomputation over the SAME untouched dir is stable — this is the
+    # property snapshot_commit_dir's crash-replay idempotence needs
+    assert _dir_fingerprint(str(d1)) == _dir_fingerprint(str(d1))
     # adding a file changes it
+    fp2 = _dir_fingerprint(str(d2))
     with open(d2 / "zz_new", "wb") as f:
         f.write(b"x")
-    assert _dir_fingerprint(str(d1)) != _dir_fingerprint(str(d2))
+    assert _dir_fingerprint(str(d2)) != fp2
     if files:
         # growing any one file changes it
         name = sorted(files)[0].replace("/", "_")
+        fp1 = _dir_fingerprint(str(d1))
         with open(d1 / name, "ab") as f:
             f.write(b"grow")
+        assert _dir_fingerprint(str(d1)) != fp1
+        # same-name-same-size in-place rewrite: only mtime moves
         d3 = base / "c"; d3.mkdir()
         materialize(d3, files)
-        assert _dir_fingerprint(str(d1)) != _dir_fingerprint(str(d3))
+        fp3 = _dir_fingerprint(str(d3))
+        path3 = os.path.join(d3, name)
+        st = os.stat(path3)
+        with open(path3, "wb") as f:
+            f.write(files[sorted(files)[0]])          # identical bytes/size
+        os.utime(path3, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        assert _dir_fingerprint(str(d3)) != fp3
