@@ -1314,6 +1314,7 @@ def _mean_max_cos(emb: DataFrame, cent: np.ndarray) -> float:
         .agg(F.avg("m"))
         .collect()[0]
     )
+    bc.unpersist()
     return float(row[0])
 
 

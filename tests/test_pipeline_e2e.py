@@ -583,7 +583,10 @@ def test_delta_tail_bootstraps_after_full_tail(spark, tmp_path):
     state (state_snapshot cursor field ≠ last), BOOTSTRAPS the state
     tables from the accumulated mentions/triples in one O(total) pass,
     and produces the same graph as a full rebuild; the NEXT delta call
-    runs the O(new + touched) path (no bootstrap flag)."""
+    runs the O(new + touched) path (no bootstrap flag); and a CHANGED
+    blocking family (recorded per-increment in the cursor's
+    state_params) forces another rebuild instead of silently merging
+    into clusters computed under the old family."""
     import os
 
     from zh_ner_tf_spark.fixtures.corpus import planted_weights
@@ -591,7 +594,7 @@ def test_delta_tail_bootstraps_after_full_tail(spark, tmp_path):
     from zh_ner_tf_spark.pipeline import run_incremental, run_pipeline
     from zh_ner_tf_spark.sources.sinks import read_snapshot, snapshot_append
 
-    rows = gen_pages(90, seed=7)
+    rows = gen_pages(120, seed=7)
     word2id = {"<PAD>": 0}
     for row in rows:
         text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
@@ -624,13 +627,30 @@ def test_delta_tail_bootstraps_after_full_tail(spark, tmp_path):
     assert r2["tail_stats"]["new_surfaces"] \
         == r2["tail_stats"]["distinct_surfaces"]
 
-    snapshot_append(df_of(rows[60:]), ptable)
+    snapshot_append(df_of(rows[60:90]), ptable)
     r3 = run_incremental(spark, ptable, groot, weights, word2id,
                          collect_tail_stats=True)
     assert "bootstrap" not in r3["tail_stats"]
     # steady state: the tail saw only genuinely-new strings
     assert r3["tail_stats"]["new_surfaces"] \
         < r3["tail_stats"]["distinct_surfaces"]
+
+    # a blocking-family change invalidates the frozen old-old pair set:
+    # simulate by tampering the recorded params — the next delta call
+    # must REBUILD the state (bootstrap), not merge into stale clusters
+    import json
+
+    cpath = os.path.join(groot, "_consumer_state.json")
+    with open(cpath) as f:
+        cur = json.load(f)
+    assert cur["state_params"]["threshold"] > 0  # params are recorded
+    cur["state_params"]["threshold"] = 0.999
+    with open(cpath, "w") as f:
+        json.dump(cur, f)
+    snapshot_append(df_of(rows[90:]), ptable)
+    r4 = run_incremental(spark, ptable, groot, weights, word2id,
+                         collect_tail_stats=True)
+    assert r4["tail_stats"].get("bootstrap") is True
 
     full = run_pipeline(spark, df_of(rows), weights, word2id, lang="zh")
 

@@ -293,7 +293,27 @@ def _srp_bands_arrow(
     def _bands(vecs: pd.Series) -> pd.Series:
         weights = 1 << np.arange(r, dtype=np.int64)
         nn = vecs.notna()
-        dense = np.array(vecs[nn].tolist(), dtype=np.float64)
+        dense_list = vecs[nn].tolist()
+        dim = planes_np.shape[1]
+        try:
+            # fast path: rectangular batch (None elements become nan)
+            dense = np.array(dense_list, dtype=np.float64)
+            if dense.ndim != 2 or dense.shape[1] != dim:
+                raise ValueError("non-conforming batch")
+        except (TypeError, ValueError):
+            # ragged/malformed rows: salvage per row. A wrong-length or
+            # unconvertible vector becomes all-nan, whose dots compare
+            # False against 0 — all-zero band values, exactly what the
+            # JVM fold produces when zip_with null-pads a mismatched
+            # array (null propagates through the sum, CASE takes 0).
+            dense = np.full((len(dense_list), dim), np.nan)
+            for i, v in enumerate(dense_list):
+                try:
+                    a = np.array(v, dtype=np.float64)
+                except (TypeError, ValueError):
+                    continue
+                if a.shape == (dim,):
+                    dense[i] = a
         if len(dense):
             bits = (dense @ planes_np.T > 0).astype(np.int64)  # [B, n_bits]
             # planes beyond n_bands*r are ignored, like the JVM path's
@@ -458,8 +478,14 @@ def fit_ivf_centroids_distributed(
                              sample_rows=sample_rows, iters=2, seed=seed)
     if cent is None:
         return None
-    if dim is None:
-        dim = cent.shape[1]
+    if dim is not None and dim != cent.shape[1]:
+        # dim is metadata-sourced (parquet footer / snapshot manifest);
+        # a mismatch with the live vectors means the caller resolved it
+        # from the wrong table — fail here, not with a shape error deep
+        # inside an executor GEMM
+        raise ValueError(
+            f"metadata dim {dim} != corpus embedding dim {cent.shape[1]}"
+        )
     norm = F.sqrt(F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
         F.lit(0.0), lambda a, x: a + x,

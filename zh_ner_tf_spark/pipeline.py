@@ -418,8 +418,11 @@ def _delta_graph_tail(
             new_pairs=new_pairs.count(),
             prior_comp_edges=prior_comp.count() if prior_comp is not None else 0,
             distinct_surfaces=all_strings.count(),
+            # measured from the ACTUAL CC input frame, not derived from
+            # the other stats — so the e2e cost assertion would catch a
+            # refactor that accidentally fed extra edges into CC
+            cc_edge_rows=cc_edges.count(),
         )
-        stats["cc_edge_rows"] = stats["new_pairs"] + stats["prior_comp_edges"]
     return nodes, edges, stats
 
 
@@ -499,6 +502,11 @@ def run_incremental(
         snapshot_stage_with_lineage,
     )
 
+    if tail not in ("delta", "full"):
+        # validate BEFORE any side effect: a typo'd tail after the
+        # intent write + delta publishes would strand an in-flight
+        # intent and a full tagger pass behind a static argument error
+        raise ValueError(f"tail must be 'delta' or 'full', got {tail!r}")
     snaps = committed_snapshots(pages_table)
     if not snaps:
         raise FileNotFoundError(f"no committed snapshots under {pages_table}")
@@ -507,11 +515,13 @@ def run_incremental(
     intent_path = os.path.join(graph_root, "_inflight.json")
     last = None
     state_reflects = None  # pages snapshot the delta state tables mirror
+    state_params_stored = None  # blocking family the state was built under
     if os.path.exists(state_path):
         with open(state_path) as f:
             cursor = json.load(f)
         last = cursor["pages_snapshot"]
         state_reflects = cursor.get("state_snapshot")
+        state_params_stored = cursor.get("state_params")
     pinned = None
     if os.path.exists(intent_path):
         with open(intent_path) as f:
@@ -526,7 +536,8 @@ def run_incremental(
             os.remove(intent_path)  # stale: its range already committed
     if last == head:
         return {"pages_snapshot": head, "processed_pages": 0,
-                "up_to_date": True, "graph_sids": None}
+                "up_to_date": True, "graph_sids": None,
+                "tail_stats": {"tail_mode": "none"}}
 
     new_pages = (
         read_snapshot(spark, pages_table, head)
@@ -561,13 +572,35 @@ def run_incremental(
         s = committed_snapshots(os.path.join(graph_root, "state", t))
         return s[-1] if s else None
 
+    # the blocking family the delta state's frozen pair set was computed
+    # under: if ANY of these change between increments, old-old pairs
+    # are no longer frozen and the delta identity breaks — detect the
+    # mismatch and rebuild the state from the accumulated tables
+    from zh_ner_tf_spark.config import (
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_NUM_HASHES,
+        MINHASH_SHINGLE_K,
+        SEED,
+    )
+
+    state_params = {
+        "shingle_k": MINHASH_SHINGLE_K,
+        "n_hashes": MINHASH_NUM_HASHES,
+        "n_bands": MINHASH_BANDS,
+        "threshold": JACCARD_THRESHOLD,
+        "seed": SEED,
+    }
+
     if pinned is not None and "state_sids" in pinned:
         state_sids = pinned["state_sids"]
         bootstrap = pinned.get("bootstrap", False)
     else:
         state_sids = {t: _state_head(t) for t in state_tables}
         bootstrap = last is not None and (
-            state_sids["surfaces"] is None or state_reflects != last
+            state_sids["surfaces"] is None
+            or state_reflects != last
+            or state_params_stored != state_params
         )
         if last is None or bootstrap:
             state_sids = {t: None for t in state_tables}
@@ -635,7 +668,10 @@ def run_incremental(
     with open(tmp, "w") as f:
         json.dump({"pages_snapshot": head,
                    "state_snapshot":
-                       head if tail == "delta" else state_reflects}, f)
+                       head if tail == "delta" else state_reflects,
+                   "state_params":
+                       state_params if tail == "delta"
+                       else state_params_stored}, f)
     os.replace(tmp, state_path)
     # intent retired AFTER the cursor: a crash between the two leaves a
     # stale intent (from != new cursor) that the next call discards

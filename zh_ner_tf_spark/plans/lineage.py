@@ -101,16 +101,25 @@ def _is_empty_marker_layout(out_dir: str) -> bool:
     supersede delete without weakening the guard for real data."""
     names = os.listdir(out_dir)
     parquet_parts = []
+    saw_success = False
     for n in names:
         full = os.path.join(out_dir, n)
         if os.path.isdir(full):
             return False  # a partitioned layout is never the marker
         if n.endswith(".parquet") and n.startswith("part-"):
             parquet_parts.append(full)
-        elif n == "_SUCCESS" or n.startswith("."):
-            continue  # bookkeeping (_SUCCESS, .crc, hidden temp files)
+        elif n == "_SUCCESS":
+            saw_success = True
+        elif n.startswith("."):
+            continue  # bookkeeping (.crc files)
         else:
             return False
+    if not saw_success or not parquet_parts:
+        # the marker write always leaves _SUCCESS plus at least one
+        # (zero-row) part file; an empty or hidden-files-only dir (e.g.
+        # an interrupted writer's .part temp files before rename) is
+        # NOT provably the marker — keep the hard refusal for those
+        return False
     try:
         import pyarrow.parquet as pq
 
