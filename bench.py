@@ -308,9 +308,12 @@ def run_incremental_probe(spark, weights, word2id) -> dict:
     try:
         ptable = os.path.join(td, "pages")
         groot = os.path.join(td, "graph")
+        # BOTH increments collect tail stats, so the two throughputs
+        # pay the same stats-job overhead and stay commensurable
         snapshot_append(df_of(rows[:4500]), ptable)
         t0 = time.time()
-        r1 = run_incremental(spark, ptable, groot, weights, word2id)
+        r1 = run_incremental(spark, ptable, groot, weights, word2id,
+                             collect_tail_stats=True)
         dt1 = time.time() - t0
         snapshot_append(df_of(rows[4500:]), ptable)
         t1 = time.time()

@@ -665,3 +665,120 @@ def test_delta_tail_bootstraps_after_full_tail(spark, tmp_path):
         == frozen(full["nodes"], ncols)
     assert frozen(read_snapshot(spark, os.path.join(groot, "edges")), ecols) \
         == frozen(full["edges"], ecols)
+
+
+def test_delta_graph_tail_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay property of the delta tail in isolation: re-running
+    the SAME stage against the SAME pinned prior state sids (what a
+    replay does after the intent pinned them) returns identical
+    nodes/edges and does not grow the state tables — lineage resume
+    skips the committed buckets and the CAS publish recognizes the
+    unchanged stage dirs."""
+    import os
+
+    from zh_ner_tf_spark.pipeline import _delta_graph_tail
+    from zh_ner_tf_spark.sources.sinks import committed_snapshots
+
+    m = spark.createDataFrame(
+        [("acme corporation x1", "ORG"), ("acme corporation x2", "ORG"),
+         ("john smith", "PER"), ("john smith", "PER")],
+        "mention string, etype string",
+    )
+    t = spark.createDataFrame(
+        [("john smith", "acme corporation x1", "employment")],
+        "subj string, obj string, pred string",
+    )
+    groot = str(tmp_path / "graph")
+    sids0 = {k: None for k in ("surfaces", "string_components", "triple_aggs")}
+
+    def frozen(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    n1, e1, _ = _delta_graph_tail(
+        spark, groot, m, t, "inc-0-1", 4, ("PER",), ("ORG", "LOC"), sids0
+    )
+    fn1, fe1 = frozen(n1), frozen(e1)
+    snaps_after = {
+        k: committed_snapshots(os.path.join(groot, "state", k))
+        for k in sids0
+    }
+    # replay: same stage, same pinned priors (None — the intent recorded
+    # them BEFORE the first attempt published anything)
+    n2, e2, _ = _delta_graph_tail(
+        spark, groot, m, t, "inc-0-1", 4, ("PER",), ("ORG", "LOC"), sids0
+    )
+    assert frozen(n2) == fn1 and frozen(e2) == fe1
+    for k in sids0:
+        assert committed_snapshots(os.path.join(groot, "state", k)) \
+            == snaps_after[k], k
+
+
+def test_replay_with_changed_blocking_family_bootstraps(spark, tmp_path):
+    """The crash-replay hole the second self-review pass found: an
+    interrupted increment pins its prior state sids in the intent; if
+    the blocking family changes between the crash and the replay, the
+    pinned priors' frozen pair set no longer matches the family the
+    replay bands with. The replay must detect the intent's recorded
+    state_params mismatch and REBUILD from the accumulated tables
+    instead of merging families — and still equal the full rebuild."""
+    import json
+    import os
+
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import run_incremental, run_pipeline
+    from zh_ner_tf_spark.sources.sinks import (
+        committed_snapshots,
+        read_snapshot,
+        snapshot_append,
+    )
+
+    rows = gen_pages(60, seed=9)
+    word2id = {"<PAD>": 0}
+    for row in rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    weights = planted_weights(word2id)
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            schema=pages_schema(),
+        )
+
+    ptable = str(tmp_path / "pages")
+    groot = str(tmp_path / "graph")
+    snapshot_append(df_of(rows[:30]), ptable)                   # snap 1
+    run_incremental(spark, ptable, groot, weights, word2id)
+    snapshot_append(df_of(rows[30:]), ptable)                   # snap 2
+
+    # simulate: increment 1->2 wrote its intent (pinning the live state
+    # sids under the OLD family) then crashed; the family "changed"
+    # before the replay (recorded params differ from current config)
+    heads = {
+        t: committed_snapshots(os.path.join(groot, "state", t))[-1]
+        for t in ("surfaces", "string_components", "triple_aggs")
+    }
+    with open(os.path.join(groot, "_inflight.json"), "w") as f:
+        json.dump({"from": 1, "to": 2, "state_sids": heads,
+                   "bootstrap": False,
+                   "state_params": {"shingle_k": 99}}, f)
+    replay = run_incremental(spark, ptable, groot, weights, word2id,
+                             collect_tail_stats=True)
+    assert replay["pages_snapshot"] == 2
+    assert replay["tail_stats"].get("bootstrap") is True
+
+    full = run_pipeline(spark, df_of(rows), weights, word2id, lang="zh")
+
+    def frozen(df, cols):
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+        )
+
+    ncols = ["canon_id", "surface", "etype", "freq"]
+    assert frozen(read_snapshot(spark, os.path.join(groot, "nodes")), ncols) \
+        == frozen(full["nodes"], ncols)

@@ -593,8 +593,18 @@ def run_incremental(
     }
 
     if pinned is not None and "state_sids" in pinned:
-        state_sids = pinned["state_sids"]
-        bootstrap = pinned.get("bootstrap", False)
+        if pinned.get("state_params") != state_params:
+            # the blocking family changed between the crash and the
+            # replay (or the intent predates params recording): the
+            # pinned priors' frozen pair set no longer matches the
+            # family this replay would band with — rebuild from the
+            # accumulated tables (safe on replay: they are published
+            # and lineage-idempotent) instead of mixing families
+            state_sids = {t: None for t in state_tables}
+            bootstrap = True
+        else:
+            state_sids = pinned["state_sids"]
+            bootstrap = pinned.get("bootstrap", False)
     else:
         state_sids = {t: _state_head(t) for t in state_tables}
         bootstrap = last is not None and (
@@ -608,7 +618,8 @@ def run_incremental(
     tmp_intent = f"{intent_path}.tmp"
     with open(tmp_intent, "w") as f:
         json.dump({"from": last, "to": head,
-                   "state_sids": state_sids, "bootstrap": bootstrap}, f)
+                   "state_sids": state_sids, "bootstrap": bootstrap,
+                   "state_params": state_params}, f)
     os.replace(tmp_intent, intent_path)
     _, mdelta = snapshot_stage_with_lineage(
         mentions, spark, os.path.join(graph_root, "mentions"), stage,
@@ -634,7 +645,7 @@ def run_incremental(
         )
         if bootstrap:
             tail_stats["bootstrap"] = True
-    elif tail == "full":
+    else:  # tail == "full" (validated at function entry)
         all_mentions = read_snapshot(
             spark, os.path.join(graph_root, "mentions")
         )
@@ -644,8 +655,6 @@ def run_incremental(
             subj_types=subj_types, obj_types=obj_types,
         )
         tail_stats = {"tail_mode": "full"}
-    else:
-        raise ValueError(f"tail must be 'delta' or 'full', got {tail!r}")
     sids = materialize_graph(
         spark, {"nodes": nodes, "edges": edges}, graph_root,
         stage=f"graph-{head}", n_buckets=n_buckets, replace=True,

@@ -101,24 +101,23 @@ def _is_empty_marker_layout(out_dir: str) -> bool:
     supersede delete without weakening the guard for real data."""
     names = os.listdir(out_dir)
     parquet_parts = []
-    saw_success = False
     for n in names:
         full = os.path.join(out_dir, n)
         if os.path.isdir(full):
             return False  # a partitioned layout is never the marker
         if n.endswith(".parquet") and n.startswith("part-"):
             parquet_parts.append(full)
-        elif n == "_SUCCESS":
-            saw_success = True
-        elif n.startswith("."):
-            continue  # bookkeeping (.crc files)
+        elif n == "_SUCCESS" or n.startswith("."):
+            continue  # bookkeeping (_SUCCESS, .crc files)
         else:
             return False
-    if not saw_success or not parquet_parts:
-        # the marker write always leaves _SUCCESS plus at least one
-        # (zero-row) part file; an empty or hidden-files-only dir (e.g.
-        # an interrupted writer's .part temp files before rename) is
-        # NOT provably the marker — keep the hard refusal for those
+    # _SUCCESS is NOT required: a marker write killed between the part
+    # files and _SUCCESS leaves zero-row parts only — still provably
+    # harmless to supersede (real stage data lives in bucket subdirs,
+    # rejected above). But an EMPTY or hidden-files-only dir (e.g. an
+    # interrupted writer's .part temp files before rename) proves
+    # nothing — keep the hard refusal for those.
+    if not parquet_parts:
         return False
     try:
         import pyarrow.parquet as pq
