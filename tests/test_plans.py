@@ -314,3 +314,25 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_delta_surface_pairs_plan_shape(spark):
+    """Incremental blocking's physical plan: the new-side band join is a
+    real equi join on (band_id, band_value) — never a cartesian/nested-
+    loop product — and the banding itself is a narrow projection (no
+    shuffle between the string scans and the join's own exchange), so
+    at crawl scale the only wide ops are the join and the pair dedup."""
+    from zh_ner_tf_spark.operators.blocking import delta_surface_pairs
+
+    all_s = spark.createDataFrame(
+        [(f"surface string {i}",) for i in range(50)], "surface string"
+    )
+    new = all_s.limit(5)
+    pairs = delta_surface_pairs(all_s, new)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the band keys (hash or sort-merge, either is fine;
+    # AQE may also elect a broadcast hash join for the tiny new side)
+    assert "band_id" in plan and "band_value" in plan
+    assert "Join" in plan

@@ -160,3 +160,85 @@ def test_records_separated_by_single_crlf_still_parse():
     urls = [r[0] for r in parse_warc_records(bad + good)]
     assert "https://fake.example/" not in urls
     assert "https://good.example/" in urls
+
+
+def test_warc_to_incremental_kg_pipeline(spark, tmp_path):
+    """Crawl-native end to end: raw WARC shards -> read_warc ->
+    html->text extraction -> lang-ID -> snapshot table -> TWO
+    run_incremental calls with the delta graph tail — the full
+    BASELINE.json consumption story (Common-Crawl-style archives in,
+    resumable KG increments out). The published nodes equal a one-shot
+    run_pipeline over the identically-ingested union, so the WARC
+    byte path (member gzip, HTTP header stripping) composes with the
+    incremental machinery without loss."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, oracle_extract_text
+    from zh_ner_tf_spark.functions.text import lang_id
+    from zh_ner_tf_spark.operators.extract_text import with_extracted_text
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import run_incremental, run_pipeline
+    from zh_ner_tf_spark.sources.sinks import read_snapshot, snapshot_append
+
+    rows = gen_pages(40, seed=13)
+    word2id = {"<PAD>": 0}
+    for row in rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    weights = planted_weights(word2id)
+
+    def shard_of(rs):
+        return b"".join(
+            _record("response", r["url"], "2025-01-02T03:04:05Z", r["html"])
+            for r in rs
+        )
+
+    def ingest(glob):
+        # the crawl-ingest stage: parse archives, extract text from the
+        # raw bytes, classify language — lang/text are NULL off the wire
+        pages = read_warc(spark, glob)
+        return with_extracted_text(pages).withColumn(
+            "lang", lang_id(F.col("text"))
+        )
+
+    d1 = tmp_path / "crawl1"; d1.mkdir()
+    d2 = tmp_path / "crawl2"; d2.mkdir()
+    (d1 / "shard0.warc").write_bytes(shard_of(rows[:25]))
+    (d1 / "shard1.warc.gz").write_bytes(gzip.compress(shard_of(rows[25:30])))
+    (d2 / "shard2.warc").write_bytes(shard_of(rows[30:]))
+
+    ptable = str(tmp_path / "pages")
+    groot = str(tmp_path / "graph")
+    snapshot_append(ingest(str(d1) + "/*"), ptable)
+    r1 = run_incremental(spark, ptable, groot, weights, word2id)
+    assert r1["processed_pages"] == 30
+    snapshot_append(ingest(str(d2) + "/*"), ptable)
+    r2 = run_incremental(spark, ptable, groot, weights, word2id,
+                         collect_tail_stats=True)
+    assert r2["processed_pages"] == 10
+    assert r2["tail_stats"]["tail_mode"] == "delta"
+
+    full = run_pipeline(
+        spark,
+        ingest(str(d1) + "/*").unionByName(ingest(str(d2) + "/*")),
+        weights, word2id, lang="zh",
+    )
+
+    def frozen(df, cols):
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+        )
+
+    ncols = ["canon_id", "surface", "etype", "freq"]
+    ecols = ["src", "dst", "pred", "weight"]
+    got_nodes = read_snapshot(spark, os.path.join(groot, "nodes"))
+    assert frozen(got_nodes, ncols) == frozen(full["nodes"], ncols)
+    assert frozen(read_snapshot(spark, os.path.join(groot, "edges")), ecols) \
+        == frozen(full["edges"], ecols)
+    assert frozen(got_nodes, ncols)  # the crawl actually produced entities
