@@ -478,6 +478,23 @@ def q_lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup document clustering end to end (r6 debut): MinHash-LSH
+    candidate pairs closed transitively by connected components, every
+    document labeled with its cluster's min doc id and a representative
+    flag — the crawl-dedup decision table. Pure integer arithmetic
+    (band values) + min-label closure, so the DuckDB oracle replicates
+    it exactly: the SAME band self-join the lsh_doc_pairs oracle uses,
+    plus a recursive-CTE reachability closure."""
+    from zh_ner_tf_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(spark, sf_dir), "doc_id", "text", k=3).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("cluster_id").cast("bigint"),
+        F.col("keep").cast("bigint"),
+    )
+
+
 def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal ingestion plumbing through the driver gate: document
     text re-encoded as an opaque binary payload rides the real
@@ -1378,7 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item 1 — twice a new operator shipped without a driver row):
 
       1. a NEW query DEBUTS inside the 50-row window (r6 debuts:
-         ivf_codebook_quality and cc_delta);
+         ivf_codebook_quality, cc_delta, near_dup_clusters);
       2. a rotated-out entry returns within ONE round. r6 RETURNS the
          nine relational queries rotated out in r5 (tpch_pricing_summary,
          broadcast_join_dims, topk_orders_per_customer, cube_lineitem,
@@ -1386,13 +1403,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          set_ops_customers, median_order_value — the schedule r5 wrote).
          Rotated out THIS round, due back in r7: the five trivial
          queries (filter_pushdown_scan, orders_by_month, events_by_type,
-         char_frequency, tokenize — driver-green r1-r3 and r5) plus six
-         multi-round-green rows whose operator family keeps an
+         char_frequency, tokenize — driver-green r1-r3 and r5) plus
+         seven multi-round-green rows whose operator family keeps an
          in-window representative (cc_one_iteration and cc_long_path —
          cc_full + the cc_delta debut stay; train_descent_softmax —
          train_descent stays; token_accuracy — eval_prf1 stays;
          bio_spans — ner_tagger_mentions/triples stay; running_window —
-         topk_orders_per_customer/sessionize/running_user_totals stay).
+         topk_orders_per_customer/sessionize/running_user_totals stay;
+         approx_distinct_documents — approx_quantiles_orders and
+         heavy_hitters_status keep the sketch family in-window).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1405,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 debuts (invariant 1) ---
         "ivf_codebook_quality": q_ivf_codebook_quality,
         "cc_delta": q_cc_delta,
+        "near_dup_clusters": q_near_dup_clusters,
         # --- returning after one round out (invariant 2) ---
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "broadcast_join_dims": q_broadcast_join_dims,
@@ -1450,13 +1470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_dates": q_range_join_dates,
         "asof_events_orders": q_asof_events_orders,
         "sessionize_events": q_sessionize_events,
-        "approx_distinct_documents": q_approx_distinct_documents,
         "windowed_event_counts": q_windowed_event_counts,
         "running_user_totals": q_running_user_totals,
         # --- below the driver's 50-row window this round: rotation pool
         # only — every entry here is multi-round driver-green, due back
         # inside the window in r7 (invariant 2); ALL are gated locally
         # every round by tests/test_entry_contract.py ---
+        "approx_distinct_documents": q_approx_distinct_documents,
         "filter_pushdown_scan": q_filter_pushdown_scan,
         "orders_by_month": q_orders_by_month,
         "events_by_type": q_events_by_type,
@@ -2235,6 +2255,35 @@ SELECT DISTINCT a.doc_id::BIGINT AS src, b.doc_id::BIGINT AS dst
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_value = b.band_value
 WHERE a.doc_id < b.doc_id
+"""
+
+    # near_dup_clusters: the lsh_doc_pairs band self-join + a
+    # recursive-CTE reachability closure (symmetric edges; component =
+    # min reachable id). UNION (distinct) bounds the recursion; docs
+    # without a collision resolve through the left join's coalesce.
+    fam_sqls["near_dup_clusters"] = f"""
+WITH RECURSIVE bands AS ({_minhash_bands_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id::BIGINT AS src, b.doc_id::BIGINT AS dst
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_value = b.band_value
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT src AS a, dst AS b FROM pairs
+  UNION ALL SELECT dst AS a, src AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(c.component, d.doc_id)::BIGINT AS cluster_id,
+       (CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
     fam_sqls["media_ingest"] = """

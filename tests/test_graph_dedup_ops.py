@@ -954,3 +954,62 @@ def test_srp_bands_arrow_gemm_parity_and_dispatch(spark):
                            _hyperplanes(wide_dim, wide_bits, 0), wide_bits, 8,
                            "eid")
     assert "ArrowEvalPython" in auto_wide._jdf.queryExecution().toString()
+
+
+def test_near_dup_clusters_close_pairs_transitively(spark):
+    """near_dup_clusters == union-find closure over lsh_doc_pairs: every
+    doc labeled with its cluster's min id, chain clusters (A~B, B~C,
+    A!~C) collapse to one, exact dups cluster, colliding-with-nothing
+    docs are their own singletons with keep=1, and exactly one keep per
+    cluster."""
+    import pandas as pd
+
+    from zh_ner_tf_spark.operators.blocking import lsh_doc_pairs
+    from zh_ner_tf_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, base * 3),
+        (2, base * 3),                       # exact dup of 1
+        (3, base * 3 + "tail one"),          # near dup of 1/2
+        (4, base * 3 + "tail one more"),     # near dup of 3 (chain)
+        (5, "completely unrelated text about spark physical plans"),
+        (6, None),                           # NULL text
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dup_clusters(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+
+    # sequential union-find over the SAME pair set
+    pairs = [(r["src"], r["dst"]) for r in lsh_doc_pairs(docs).collect()]
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j, _ in rows if find(j) == find(i))
+            for i, _ in rows}
+    assert {d: c for d, (c, _) in got.items()} == want
+    # 1 and 2 (exact dups) share a cluster; the chain pulls 3,4 in too
+    assert got[2][0] == got[1][0] == 1
+    assert got[3][0] == 1 and got[4][0] == 1
+    # singletons keep themselves
+    assert got[5] == (5, 1) and got[6] == (6, 1)
+    # exactly one representative per cluster
+    clusters = {}
+    for d, (c, keep) in got.items():
+        clusters.setdefault(c, 0)
+        clusters[c] += keep
+    assert all(v == 1 for v in clusters.values())

@@ -483,3 +483,60 @@ def embedding_near_dups(
         joined.select("src", "dst", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
+    seed: int | None = None,
+) -> DataFrame:
+    """Near-duplicate document CLUSTERING — the decision table a crawl
+    dedup stage actually consumes: every document gets a ``cluster_id``
+    (= the min doc id connected to it through the MinHash-LSH candidate
+    pair graph; its own id if it collides with nothing) and a ``keep``
+    flag marking the cluster representative. ``filter(keep = 1)``
+    collapses the corpus to one copy per near-dup cluster; the
+    (doc -> cluster) map keys provenance for the dropped copies.
+
+    Composition, not new machinery: lsh_doc_pairs (exact-dup-collapsed,
+    salted band self-join) supplies the candidate edges and
+    connected_components (pointer-jumping min-label) closes them
+    transitively — near-dup similarity is not transitive, so a cluster
+    is an equivalence closure OVER candidate pairs, the standard crawl
+    dedup semantic (collapsing A~B and B~C into one cluster even when
+    A,C never collide).
+
+    Scale shape: documents that collide with nothing never enter the CC
+    (they resolve through the left join's coalesce), the pair graph is
+    band-bucketed (never all-pairs), and CC is O(log diameter)
+    shuffles on doc-id keys."""
+    from zh_ner_tf_spark.config import (
+        MINHASH_BANDS,
+        MINHASH_NUM_HASHES,
+        SEED,
+    )
+    from zh_ner_tf_spark.operators.blocking import lsh_doc_pairs
+    from zh_ner_tf_spark.operators.components import connected_components
+
+    pairs = lsh_doc_pairs(
+        docs, id_col, text_col, k,
+        MINHASH_NUM_HASHES if n_hashes is None else n_hashes,
+        MINHASH_BANDS if n_bands is None else n_bands,
+        SEED if seed is None else seed,
+    )
+    comp = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "keep", (F.col(id_col) == F.col("cluster_id")).cast("bigint")
+        )
+    )
