@@ -478,6 +478,64 @@ def q_lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantized_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization gate (r6 debut): per query, top-10
+    cosine neighbors over the QUANTIZED corpus must overlap the float
+    top-10 at >= 0.8 recall (sf0.01 measures 0.9-1.0 — the 0.8 gate
+    absorbs rounding drift without going vacuous), and every
+    dequantized element must sit within scale/2 of its float original
+    (the symmetric-rounding bound). Quantization is deterministic, but
+    the RANKING depends on sub-ulp cosine differences between engines,
+    so the gate emits invariant flags the oracle pins to 1 — the same
+    pattern as approx_quantiles/ivf_codebook_quality."""
+    from zh_ner_tf_spark.operators.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = quantize_embeddings(emb)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    exact = brute_force_topk(emb, queries_df, k=k)
+    quant = quantized_topk(qemb, queries_df, k=k)
+    overlap = (
+        exact.select("query_id", "vec_id")
+        .join(quant.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    recall_rows = overlap.select(
+        F.col("query_id").cast("bigint"),
+        (F.col("n_common") >= F.lit(int(k * 0.8))).cast("bigint")
+        .alias("recall_ok"),
+    )
+    # roundtrip bound over the whole corpus, one aggregate: every
+    # |dequant - float| <= scale/2 (+1e-9 for the double division)
+    err = F.aggregate(
+        F.zip_with(
+            dequantize_expr("qembedding", "qscale"),
+            F.col("embedding"),
+            lambda d, x: F.abs(d - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    bound_ok = (
+        qemb.filter(F.col("embedding").isNotNull())
+        .select(
+            (err <= F.col("qscale") / 2 + F.lit(1e-9)).alias("ok")
+        )
+        .agg(F.min(F.col("ok").cast("bigint")).alias("roundtrip_ok"))
+    )
+    return recall_rows.crossJoin(F.broadcast(bound_ok)).select(
+        "query_id", "recall_ok", F.col("roundtrip_ok").cast("bigint")
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup document clustering end to end (r6 debut): MinHash-LSH
     candidate pairs closed transitively by connected components, every
@@ -1395,7 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item 1 — twice a new operator shipped without a driver row):
 
       1. a NEW query DEBUTS inside the 50-row window (r6 debuts:
-         ivf_codebook_quality, cc_delta, near_dup_clusters);
+         ivf_codebook_quality, cc_delta, near_dup_clusters,
+         quantized_topk_recall);
       2. a rotated-out entry returns within ONE round. r6 RETURNS the
          nine relational queries rotated out in r5 (tpch_pricing_summary,
          broadcast_join_dims, topk_orders_per_customer, cube_lineitem,
@@ -1411,7 +1470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          bio_spans — ner_tagger_mentions/triples stay; running_window —
          topk_orders_per_customer/sessionize/running_user_totals stay;
          approx_distinct_documents — approx_quantiles_orders and
-         heavy_hitters_status keep the sketch family in-window).
+         heavy_hitters_status keep the sketch family in-window;
+         embedding_topk — ann_topk/ivf_topk_full/embedding_near_dup
+         stay, and quantized_topk_recall itself runs the brute-force
+         path as its exact reference).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1425,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_codebook_quality": q_ivf_codebook_quality,
         "cc_delta": q_cc_delta,
         "near_dup_clusters": q_near_dup_clusters,
+        "quantized_topk_recall": q_quantized_topk_recall,
         # --- returning after one round out (invariant 2) ---
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "broadcast_join_dims": q_broadcast_join_dims,
@@ -1456,7 +1519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
-        "embedding_topk": q_embedding_topk,
         "ann_topk": q_ann_topk,
         "extract_text_bytes": q_extract_text_bytes,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1477,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside the window in r7 (invariant 2); ALL are gated locally
         # every round by tests/test_entry_contract.py ---
         "approx_distinct_documents": q_approx_distinct_documents,
+        "embedding_topk": q_embedding_topk,
         "filter_pushdown_scan": q_filter_pushdown_scan,
         "orders_by_month": q_orders_by_month,
         "events_by_type": q_events_by_type,
@@ -2255,6 +2318,16 @@ SELECT DISTINCT a.doc_id::BIGINT AS src, b.doc_id::BIGINT AS dst
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_value = b.band_value
 WHERE a.doc_id < b.doc_id
+"""
+
+    # quantized_topk_recall: boolean invariants (recall@10 >= 0.8 per
+    # query over the int8-quantized corpus; dequantization error within
+    # the symmetric-rounding bound corpus-wide) — rankings depend on
+    # sub-ulp cosine differences between engines, so flags, not values
+    fam_sqls["quantized_topk_recall"] = """
+SELECT vec_id::BIGINT AS query_id, 1::BIGINT AS recall_ok,
+       1::BIGINT AS roundtrip_ok
+FROM embeddings WHERE vec_id < 5
 """
 
     # near_dup_clusters: the lsh_doc_pairs band self-join + a

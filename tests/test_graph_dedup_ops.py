@@ -1013,3 +1013,56 @@ def test_near_dup_clusters_close_pairs_transitively(spark):
         clusters.setdefault(c, 0)
         clusters[c] += keep
     assert all(v == 1 for v in clusters.values())
+
+
+def test_quantize_embeddings_roundtrip_and_recall(spark):
+    """int8 symmetric quantization: (1) every dequantized element sits
+    within scale/2 of the original (half-up rounding bound); (2) codes
+    span [-127, 127]; (3) zero vectors store scale 0 / zero codes and a
+    NULL vector stays NULL; (4) top-k over the quantized corpus keeps
+    high overlap with the float ranking on planted clusters."""
+    from zh_ner_tf_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_expr,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, (rng.normal(size=16) * (1 + i % 3)).tolist())
+            for i in range(60)]
+    rows.append((100, [0.0] * 16))
+    rows.append((101, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(emb)
+    got = {r["vec_id"]: r for r in
+           q.withColumn("deq", dequantize_expr("qembedding", "qscale"))
+            .collect()}
+    for i, vec in rows:
+        if vec is None:
+            assert got[i]["qembedding"] is None and got[i]["qscale"] is None
+            continue
+        scale = got[i]["qscale"]
+        if all(v == 0 for v in vec):
+            assert scale == 0.0 and all(c == 0 for c in got[i]["qembedding"])
+            continue
+        assert scale > 0
+        codes = got[i]["qembedding"]
+        assert max(abs(c) for c in codes) <= 127
+        for orig, deq in zip(vec, got[i]["deq"]):
+            assert abs(deq - orig) <= scale / 2 + 1e-12
+    queries = emb.filter("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    # cosine is undefined over zero/NULL vectors (ANSI divide-by-zero);
+    # the ranking portion runs on the real vectors only
+    nz = emb.filter("vec_id < 100")
+    exact = brute_force_topk(nz, queries, k=8).collect()
+    quant = quantized_topk(q.filter("vec_id < 100"), queries, k=8).collect()
+    ex = {}; qt = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in quant:
+        qt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in ex:
+        assert len(ex[qid] & qt[qid]) >= 6  # >= 0.75 overlap at k=8

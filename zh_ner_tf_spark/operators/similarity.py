@@ -805,3 +805,69 @@ def ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qembedding",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding STORAGE
+    scale path at 100 TB: a float32 embedding column shrinks 4x (8x vs
+    float64) and every shuffle/broadcast that carries vectors moves 4x
+    fewer bytes, at a bounded cosine-recall cost (driver-gated; the
+    sf0.01 fixture measures recall@10 of 0.9-1.0).
+
+    q[i] = round(x[i] / scale), scale = max|x| / 127 — all JVM Column
+    arithmetic (transform/array_max), no UDF, so quantization runs
+    inside whole-stage codegen in the scan projection. An all-zero (or
+    empty) vector stores scale 0 and all-zero codes; a NULL vector
+    stays NULL in both columns. Spark ``round`` is HALF_UP, codes span
+    [-127, 127] (no -128 edge case)."""
+    x = F.col(vec_col)
+    maxabs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = maxabs / F.lit(127.0)
+    q = F.when(
+        maxabs > 0,
+        F.transform(
+            x, lambda v: F.round(v.cast("double") / scale).cast("tinyint")
+        ),
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    return emb.withColumn(
+        scale_col,
+        # NULL vector -> NULL scale (the unmatched-when default); zero
+        # or empty vector -> scale 0 with all-zero codes
+        F.when(maxabs > 0, scale).when(x.isNotNull(), F.lit(0.0)),
+    ).withColumn(q_col, q)
+
+
+def dequantize_expr(q_col: str, scale_col: str) -> Column:
+    """array<tinyint> codes + per-row scale -> array<double> (pure JVM)."""
+    return F.transform(
+        F.col(q_col), lambda v: v.cast("double") * F.col(scale_col)
+    )
+
+
+def quantized_topk(
+    corpus_q: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key_col: str = "vec_id",
+    q_col: str = "qembedding",
+    scale_col: str = "qscale",
+    query_key: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over an int8-quantized corpus (float queries):
+    codes dequantize on the fly inside the scan projection, then the
+    brute-force path runs unchanged — the accuracy baseline for any
+    quantized index. The cosine ranking degrades only by the rounding
+    error (<= scale/2 per element), which the recall driver gate
+    bounds."""
+    corpus = corpus_q.select(
+        F.col(key_col),
+        dequantize_expr(q_col, scale_col).alias(query_vec),
+    )
+    return brute_force_topk(corpus, queries, k, key_col, query_vec,
+                            query_key)
