@@ -508,10 +508,17 @@ def q_quantized_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    recall_rows = overlap.select(
-        F.col("query_id").cast("bigint"),
-        (F.col("n_common") >= F.lit(int(k * 0.8))).cast("bigint")
-        .alias("recall_ok"),
+    # left join from the query set: a query with ZERO overlap must emit
+    # recall_ok=0, not vanish into a row-count mismatch
+    recall_rows = (
+        queries_df.select("query_id")
+        .join(overlap, "query_id", "left")
+        .na.fill(0, ["n_common"])
+        .select(
+            F.col("query_id").cast("bigint"),
+            (F.col("n_common") >= F.lit(int(k * 0.8))).cast("bigint")
+            .alias("recall_ok"),
+        )
     )
     # roundtrip bound over the whole corpus, one aggregate: every
     # |dequant - float| <= scale/2 (+1e-9 for the double division)
@@ -564,7 +571,9 @@ def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = (
         _docs(spark, sf_dir)
-        .filter(F.col("doc_id") < 200)
+        # NULL text = nothing to ingest (and a NULL n_bytes would ride
+        # pandas dtype promotion into a float column on one engine only)
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
         .select(
             F.col("doc_id").alias("media_id"),
             F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -1463,7 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          Rotated out THIS round, due back in r7: the five trivial
          queries (filter_pushdown_scan, orders_by_month, events_by_type,
          char_frequency, tokenize — driver-green r1-r3 and r5) plus
-         seven multi-round-green rows whose operator family keeps an
+         eight multi-round-green rows whose operator family keeps an
          in-window representative (cc_one_iteration and cc_long_path —
          cc_full + the cc_delta debut stay; train_descent_softmax —
          train_descent stays; token_accuracy — eval_prf1 stays;
@@ -1585,7 +1594,8 @@ def _grams_sql(n: int) -> str:
       ELSE [list_reduce(list_prepend(0::BIGINT, th),
                         (a, h) -> (a * 31 + h) % {MINHASH_PRIME})]
     END) AS ghashes
-  FROM (SELECT doc_id, {_TH_SQL} AS th FROM documents)
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM documents
+        WHERE text IS NOT NULL)
 """
 
 
@@ -1601,7 +1611,8 @@ def _winnow_sql(n: int, w: int) -> str:
     for k in range(1, n):
         combine = f"(({combine}) * 31 + th[i+{k}]) % {MINHASH_PRIME}"
     return f"""
-WITH t AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+WITH t AS (SELECT doc_id, {_TH_SQL} AS th FROM documents
+           WHERE text IS NOT NULL),
 g AS (
   SELECT doc_id,
     CASE WHEN len(th) >= {n}
@@ -1624,6 +1635,17 @@ SELECT DISTINCT doc_id,
   (4294967295 - (c & 4294967295))::BIGINT AS fp_pos,
   (c >> 32)::BIGINT AS fp_hash
 FROM wn WHERE pos <= greatest(m - {w}, 0)
+"""
+
+
+# the ONE candidate-pair SELECT shared by the lsh_doc_pairs and
+# near_dup_clusters oracles (a `bands` CTE must be in scope) — a pair-
+# semantics change edits exactly one place
+_LSH_PAIRS_SQL = """
+  SELECT DISTINCT a.doc_id::BIGINT AS src, b.doc_id::BIGINT AS dst
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_value = b.band_value
+  WHERE a.doc_id < b.doc_id
 """
 
 
@@ -2053,9 +2075,9 @@ def _lang_id_sql() -> str:
     return f"""
 WITH s AS (
   SELECT lang,
-         ({score['de']}) AS sde, ({score['en']}) AS sen,
-         ({score['es']}) AS ses, ({score['fr']}) AS sfr,
-         regexp_matches(text, '[一-鿿]') AS has_cjk
+         coalesce({score['de']}, 0) AS sde, coalesce({score['en']}, 0) AS sen,
+         coalesce({score['es']}, 0) AS ses, coalesce({score['fr']}, 0) AS sfr,
+         coalesce(regexp_matches(text, '[一-鿿]'), false) AS has_cjk
   FROM documents
 ),
 p AS (
@@ -2313,11 +2335,9 @@ FROM (SELECT *, {triple_case} AS pred FROM gaps) WHERE pred IS NOT NULL
     fam_sqls["minhash_bands"] = _minhash_bands_sql()
 
     fam_sqls["lsh_doc_pairs"] = f"""
-WITH bands AS ({_minhash_bands_sql()})
-SELECT DISTINCT a.doc_id::BIGINT AS src, b.doc_id::BIGINT AS dst
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_value = b.band_value
-WHERE a.doc_id < b.doc_id
+WITH bands AS ({_minhash_bands_sql()}),
+pairs AS ({_LSH_PAIRS_SQL})
+SELECT src, dst FROM pairs
 """
 
     # quantized_topk_recall: boolean invariants (recall@10 >= 0.8 per
@@ -2336,12 +2356,7 @@ FROM embeddings WHERE vec_id < 5
     # without a collision resolve through the left join's coalesce.
     fam_sqls["near_dup_clusters"] = f"""
 WITH RECURSIVE bands AS ({_minhash_bands_sql()}),
-pairs AS (
-  SELECT DISTINCT a.doc_id::BIGINT AS src, b.doc_id::BIGINT AS dst
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_value = b.band_value
-  WHERE a.doc_id < b.doc_id
-),
+pairs AS ({_LSH_PAIRS_SQL}),
 edges AS (
   SELECT src AS a, dst AS b FROM pairs
   UNION ALL SELECT dst AS a, src AS b FROM pairs
@@ -2363,7 +2378,7 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 SELECT doc_id::BIGINT AS media_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        8::BIGINT AS n_features
-FROM documents WHERE doc_id < 200
+FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 """
 
     fam_sqls["entity_blocking"] = _entity_blocking_sql()

@@ -76,3 +76,75 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"mention", "etype", "freq"}
+
+
+# documents-family queries: every pair whose oracle reads ONLY the
+# documents table. These must agree not just on the driver fixture but
+# on a corpus with the shapes a real crawl produces — NULL texts
+# (including several, so NULL-grouping divergences surface), empty
+# strings, sub-shingle-length strings, and exact duplicates. r6 found
+# and fixed four latent divergences this way (NULL docs banding into a
+# shared bucket in the minhash/winnow oracles, lang_id's CASE chain
+# falling through to 'fr' on NULL scores, a phantom empty-string char
+# row from split('','')); this gate keeps them fixed across fixture
+# regens.
+DOC_QUERIES = [
+    "ner_tagger_mentions", "argmax_decode", "sentence_split", "tokenize",
+    "char_frequency", "vocab_build", "bio_spans", "eval_prf1",
+    "token_accuracy", "triples_pattern", "minhash_bands", "lsh_doc_pairs",
+    "near_dup_clusters", "media_ingest", "entity_blocking", "dedup_exact",
+    "simhash", "ngram_jaccard_adjacent", "winnow_fingerprint", "lang_id",
+    "quality_features", "token_counts", "doc_fingerprint",
+    "stream_dedup_totals", "approx_distinct_documents",
+]
+
+
+@pytest.fixture(scope="module")
+def null_heavy_sf(spark, tmp_path_factory):
+    """A documents table full of crawl edge shapes, written in the
+    sf-dir layout so queries() callables run on it unchanged."""
+    texts = [
+        "alpha beta gamma delta words here",
+        "alpha beta gamma delta words here",   # exact dup
+        "table join merge scan sort",
+        None, None, None,                       # several NULLs
+        "", "x",                                # empty / sub-shingle
+        "scan scans group groups sort sorts table join",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    rows = [
+        (i, t, ["zh", "en", "de"][i % 3], f"s{i % 4}", len(t) if t else 0)
+        for i, t in enumerate(texts * 3)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    )
+    td = str(tmp_path_factory.mktemp("null_sf"))
+    df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+    return td
+
+
+@pytest.fixture(scope="module")
+def null_duck(null_heavy_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{null_heavy_sf}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_query_matches_oracle_on_null_heavy_corpus(
+    spark, null_heavy_sf, null_duck, name
+):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = q(spark, null_heavy_sf).toPandas()
+    want = null_duck.execute(sql).df()
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    assert sorted(got.columns) == sorted(want.columns), f"{name}: columns"
+    g, w = _normalize(got), _normalize(want)
+    mismatches = [(a, b) for a, b in zip(g, w) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"

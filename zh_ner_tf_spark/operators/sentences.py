@@ -60,9 +60,16 @@ def explode_chars(
     df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
 ) -> DataFrame:
     """text -> one row per character with 0-based position (corpus-scan
-    twin of reference data.py:≈16-35 at char granularity)."""
+    twin of reference data.py:≈16-35 at char granularity). An empty or
+    NULL text emits NO rows: Spark's split('', '') yields [''], which
+    would otherwise surface a phantom empty-string "character" row per
+    empty document."""
     id_cols = id_cols or ["doc_id"]
-    return df.select(
-        *id_cols,
-        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
-    ).withColumn("pos", F.col("pos").cast("int"))
+    return (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            *id_cols,
+            F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
+        )
+        .withColumn("pos", F.col("pos").cast("int"))
+    )
