@@ -90,6 +90,31 @@ def _rule_tagged(toks: DataFrame, org_words: tuple[str, ...], hi: str) -> DataFr
     )
 
 
+def _rule_tagged_both(toks: DataFrame) -> DataFrame:
+    """Gold AND pred BIO tags from ONE pass over the tokens (VERDICT r6
+    item 5): both class columns are projected together and both lag
+    window functions share one Window spec, so Catalyst plans a single
+    Window exec — the tokenize/explode upstream runs once, not once per
+    rule. Emits (doc_id, pos, ch, gold_tag, pred_tag)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    staged = toks.withColumn(
+        "gcls", _class_expr(GOLD_ORG, GOLD_HI)
+    ).withColumn("pcls", _class_expr(PRED_ORG, PRED_HI))
+
+    def tag(name: str) -> F.Column:
+        c = F.col(name)
+        return (
+            F.when(c.isNull(), F.lit("O"))
+            .when(~F.lag(c).over(w).eqNullSafe(c), F.concat(F.lit("B-"), c))
+            .otherwise(F.concat(F.lit("I-"), c))
+        )
+
+    return staged.select(
+        "doc_id", "pos", F.col("token").alias("ch"),
+        tag("gcls").alias("gold_tag"), tag("pcls").alias("pred_tag"),
+    )
+
+
 _TOKS_SQL = """
   SELECT doc_id,
          (row_number() OVER (PARTITION BY doc_id ORDER BY sub) - 1)::BIGINT AS pos,
@@ -380,21 +405,20 @@ def q_bio_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_eval_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _tokens(spark, sf_dir)
-    gold = _rule_tagged(toks, GOLD_ORG, GOLD_HI).withColumnRenamed("token", "ch")
-    pred = _rule_tagged(toks, PRED_ORG, PRED_HI).withColumnRenamed("token", "ch")
+    # one fused pass emits both tag columns; localCheckpoint materializes
+    # it so the gold/pred span-extraction branches (the gold side is
+    # consumed twice inside conlleval_prf1) never re-run the tokenize +
+    # window upstream — 3 executions of the tagged plan become 1.
+    fused = _rule_tagged_both(_tokens(spark, sf_dir)).localCheckpoint()
+    gold = fused.select("doc_id", "pos", "ch", F.col("gold_tag").alias("tag"))
+    pred = fused.select("doc_id", "pos", "ch", F.col("pred_tag").alias("tag"))
     return conlleval_prf1(gold, pred, ["doc_id"], "pos", "tag", "ch")
 
 
 def q_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _tokens(spark, sf_dir)
-    gold = _rule_tagged(toks, GOLD_ORG, GOLD_HI).select(
-        "doc_id", "pos", F.col("tag").alias("gold_tag")
-    )
-    pred = _rule_tagged(toks, PRED_ORG, PRED_HI).select(
-        "doc_id", "pos", F.col("tag").alias("pred_tag")
-    )
-    return token_accuracy(gold.join(pred, ["doc_id", "pos"]))
+    # the fused tagged frame already aligns gold/pred per (doc_id, pos):
+    # the old equi self-join disappears entirely
+    return token_accuracy(_rule_tagged_both(_tokens(spark, sf_dir)))
 
 
 def q_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,6 +564,75 @@ def q_quantized_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return recall_rows.crossJoin(F.broadcast(bound_ok)).select(
         "query_id", "recall_ok", F.col("roundtrip_ok").cast("bigint")
+    )
+
+
+def q_ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-rescored ANN gate (r7 debut; VERDICT r6 item 2): the
+    ann_topk / embedding_near_dups hot paths can carry corpus vectors
+    through their candidate stages as int8 codes + per-row scale (~8x
+    fewer bytes on the exchanges that dominate at crawl scale),
+    dequantizing inside the rescore projection. The candidate sets are
+    IDENTICAL to the float paths (banding stays on float vectors), so
+    the only degradation is rank/threshold flips from int8 rounding —
+    gated here as (a) per-query recall@10 of int8-rescored ann_topk vs
+    the float path >= 0.9 (sf0.01 measures 1.0) and (b) near-dup
+    pair-set Jaccard agreement >= 0.9 (sf0.01 measures 0.984).
+    Rankings depend on sub-ulp cosine differences between engines, so
+    the oracle pins invariant flags — the quantized_topk_recall
+    pattern; the underlying scalars are margin-gated in pytest
+    (test_graph_dedup_ops.py, ADVICE r6)."""
+    from zh_ner_tf_spark.operators.dedup import embedding_near_dups
+    from zh_ner_tf_spark.operators.similarity import ann_topk
+    from zh_ner_tf_spark.sources.tables import table_embedding_dim, table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nr = table_row_count(sf_dir, "embeddings")
+    dm = table_embedding_dim(sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    base = ann_topk(emb, queries_df, k=k, n_rows=nr, dim=dm)
+    q8 = ann_topk(emb, queries_df, k=k, n_rows=nr, dim=dm,
+                  int8_rescore=True)
+    overlap = (
+        base.select("query_id", "vec_id")
+        .join(q8.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    recall_rows = (
+        queries_df.select("query_id")
+        .join(overlap, "query_id", "left")
+        .na.fill(0, ["n_common"])
+        .select(
+            F.col("query_id").cast("bigint"),
+            (F.col("n_common") >= F.lit(int(k * 0.9))).cast("bigint")
+            .alias("recall_ok"),
+        )
+    )
+    ndf = embedding_near_dups(emb, threshold=0.3, n_rows=nr, dim=dm)
+    nd8 = embedding_near_dups(emb, threshold=0.3, n_rows=nr, dim=dm,
+                              int8_rescore=True)
+    # Jaccard agreement of the two pair sets in one union + groupBy:
+    # a pair seen twice is in the intersection, once -> one side only
+    stats = (
+        ndf.select("src", "dst")
+        .unionByName(nd8.select("src", "dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum((F.col("c") == 2).cast("bigint")).alias("n_inter"),
+        )
+    )
+    pair_ok = stats.select(
+        (F.col("n_inter") >= F.lit(0.9) * F.col("n_union"))
+        .cast("bigint").alias("neardup_ok")
+    )
+    return recall_rows.crossJoin(F.broadcast(pair_ok)).select(
+        "query_id", "recall_ok", "neardup_ok"
     )
 
 
@@ -1461,28 +1554,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deliberate ROTATION with two invariants (adopted r5, VERDICT r4
     item 1 — twice a new operator shipped without a driver row):
 
-      1. a NEW query DEBUTS inside the 50-row window (r6 debuts:
-         ivf_codebook_quality, cc_delta, near_dup_clusters,
-         quantized_topk_recall);
-      2. a rotated-out entry returns within ONE round. r6 RETURNS the
-         nine relational queries rotated out in r5 (tpch_pricing_summary,
-         broadcast_join_dims, topk_orders_per_customer, cube_lineitem,
-         rollup_orders, grouping_sets_orders, pivot_order_status,
-         set_ops_customers, median_order_value — the schedule r5 wrote).
-         Rotated out THIS round, due back in r7: the five trivial
-         queries (filter_pushdown_scan, orders_by_month, events_by_type,
-         char_frequency, tokenize — driver-green r1-r3 and r5) plus
-         eight multi-round-green rows whose operator family keeps an
-         in-window representative (cc_one_iteration and cc_long_path —
-         cc_full + the cc_delta debut stay; train_descent_softmax —
-         train_descent stays; token_accuracy — eval_prf1 stays;
-         bio_spans — ner_tagger_mentions/triples stay; running_window —
-         topk_orders_per_customer/sessionize/running_user_totals stay;
-         approx_distinct_documents — approx_quantiles_orders and
-         heavy_hitters_status keep the sketch family in-window;
-         embedding_topk — ann_topk/ivf_topk_full/embedding_near_dup
-         stay, and quantized_topk_recall itself runs the brute-force
-         path as its exact reference).
+      1. a NEW query DEBUTS inside the 50-row window (r7 debut:
+         ann_int8_rescore; the four r6 debuts stay in-window for a
+         second consecutive driver check, the r5-debut precedent);
+      2. a rotated-out entry returns within ONE round. r7 RETURNS all
+         13 rows r6 rotated out (filter_pushdown_scan, orders_by_month,
+         events_by_type, char_frequency, tokenize, cc_one_iteration,
+         cc_long_path, train_descent_softmax, token_accuracy, bio_spans,
+         running_window, approx_distinct_documents, embedding_topk —
+         the schedule r6 wrote). Rotated out THIS round, due back in
+         r8: the nine relational queries (driver-green r1-r4 and r6;
+         relational family reps stay via the returning trivial queries
+         + topk/sessionize/rollup cousins asof_events_orders,
+         sessionize_events, running_user_totals, approx_quantiles_
+         orders, heavy_hitters_status) plus five multi-round-green rows
+         whose operator family keeps an in-window representative
+         (argmax_decode — ner_tagger_mentions/token_accuracy/
+         train_descent stay; ngram_jaccard_adjacent — dedup_exact/
+         simhash/winnow/minhash/lsh/near_dup_clusters stay;
+         token_counts — lang_id/quality_features/doc_fingerprint stay;
+         windowed_event_counts and range_join_dates — sessionize_
+         events/running_user_totals/running_window/asof_events_orders
+         stay).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1490,29 +1583,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry. The schedule is documented in SURVEY.md §2."""
     return {
         "ner_tagger_mentions": q_ner_tagger_mentions,
-        "argmax_decode": q_argmax_decode,
         "ivf_topk_full": q_ivf_topk_full,
-        # --- r6 debuts (invariant 1) ---
+        # --- r7 debut (invariant 1) ---
+        "ann_int8_rescore": q_ann_int8_rescore,
+        # --- r6 debuts, kept for a second consecutive driver check ---
         "ivf_codebook_quality": q_ivf_codebook_quality,
         "cc_delta": q_cc_delta,
         "near_dup_clusters": q_near_dup_clusters,
         "quantized_topk_recall": q_quantized_topk_recall,
         # --- returning after one round out (invariant 2) ---
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "broadcast_join_dims": q_broadcast_join_dims,
-        "topk_orders_per_customer": q_topk_orders_per_customer,
-        "cube_lineitem": q_cube_lineitem,
-        "rollup_orders": q_rollup_orders,
-        "grouping_sets_orders": q_grouping_sets_orders,
-        "pivot_order_status": q_pivot_order_status,
-        "set_ops_customers": q_set_ops_customers,
-        "median_order_value": q_median_order_value,
-        # --- r5 debuts, kept for a second consecutive driver check ---
+        "filter_pushdown_scan": q_filter_pushdown_scan,
+        "orders_by_month": q_orders_by_month,
+        "events_by_type": q_events_by_type,
+        "char_frequency": q_char_frequency,
+        "tokenize": q_tokenize,
+        "cc_one_iteration": q_cc_one_iteration,
+        "cc_long_path": q_cc_long_path,
+        "train_descent_softmax": q_train_descent_softmax,
+        "token_accuracy": q_token_accuracy,
+        "bio_spans": q_bio_spans,
+        "running_window": q_running_window,
+        "approx_distinct_documents": q_approx_distinct_documents,
+        "embedding_topk": q_embedding_topk,
+        # --- standing coverage ---
         "approx_quantiles_orders": q_approx_quantiles_orders,
         "heavy_hitters_status": q_heavy_hitters_status,
         "stream_dedup_totals": q_stream_dedup_totals,
         "salted_join_events": q_salted_join_events,
-        # --- standing coverage ---
         "train_descent": q_train_descent,
         "cc_full": q_cc_full,
         "salted_agg_events": q_salted_agg_events,
@@ -1527,7 +1624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_blocking": q_entity_blocking,
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
-        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "ann_topk": q_ann_topk,
         "extract_text_bytes": q_extract_text_bytes,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1536,30 +1632,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_edges": q_pipeline_edges,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
-        "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "range_join_dates": q_range_join_dates,
         "asof_events_orders": q_asof_events_orders,
         "sessionize_events": q_sessionize_events,
-        "windowed_event_counts": q_windowed_event_counts,
         "running_user_totals": q_running_user_totals,
         # --- below the driver's 50-row window this round: rotation pool
         # only — every entry here is multi-round driver-green, due back
-        # inside the window in r7 (invariant 2); ALL are gated locally
+        # inside the window in r8 (invariant 2); ALL are gated locally
         # every round by tests/test_entry_contract.py ---
-        "approx_distinct_documents": q_approx_distinct_documents,
-        "embedding_topk": q_embedding_topk,
-        "filter_pushdown_scan": q_filter_pushdown_scan,
-        "orders_by_month": q_orders_by_month,
-        "events_by_type": q_events_by_type,
-        "char_frequency": q_char_frequency,
-        "tokenize": q_tokenize,
-        "cc_one_iteration": q_cc_one_iteration,
-        "cc_long_path": q_cc_long_path,
-        "train_descent_softmax": q_train_descent_softmax,
-        "token_accuracy": q_token_accuracy,
-        "bio_spans": q_bio_spans,
-        "running_window": q_running_window,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "broadcast_join_dims": q_broadcast_join_dims,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "cube_lineitem": q_cube_lineitem,
+        "rollup_orders": q_rollup_orders,
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "pivot_order_status": q_pivot_order_status,
+        "set_ops_customers": q_set_ops_customers,
+        "median_order_value": q_median_order_value,
+        "argmax_decode": q_argmax_decode,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "token_counts": q_token_counts,
+        "windowed_event_counts": q_windowed_event_counts,
+        "range_join_dates": q_range_join_dates,
     }
 
 
@@ -2347,6 +2441,16 @@ SELECT src, dst FROM pairs
     fam_sqls["quantized_topk_recall"] = """
 SELECT vec_id::BIGINT AS query_id, 1::BIGINT AS recall_ok,
        1::BIGINT AS roundtrip_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+    # ann_int8_rescore: boolean invariants (per-query recall@10 of the
+    # int8-rescored ANN vs the float path >= 0.9; near-dup pair-set
+    # Jaccard agreement >= 0.9) — same flag pattern; the candidate sets
+    # are identical by construction, only rescore precision differs
+    fam_sqls["ann_int8_rescore"] = """
+SELECT vec_id::BIGINT AS query_id, 1::BIGINT AS recall_ok,
+       1::BIGINT AS neardup_ok
 FROM embeddings WHERE vec_id < 5
 """
 

@@ -1019,7 +1019,10 @@ def test_quantize_embeddings_roundtrip_and_recall(spark):
     """int8 symmetric quantization: (1) every dequantized element sits
     within scale/2 of the original (half-up rounding bound); (2) codes
     span [-127, 127]; (3) zero vectors store scale 0 / zero codes and a
-    NULL vector stays NULL; (4) top-k over the quantized corpus keeps
+    NULL vector stays NULL, a NaN-containing vector degrades to the
+    NULL branch (whole-row NULL codes + NULL scale — not a NaN scale
+    with element-wise NULL codes; ADVICE r6), and an EMPTY vector keeps
+    scale 0 with empty codes; (4) top-k over the quantized corpus keeps
     high overlap with the float ranking on planted clusters."""
     from zh_ner_tf_spark.operators.similarity import (
         brute_force_topk,
@@ -1033,14 +1036,20 @@ def test_quantize_embeddings_roundtrip_and_recall(spark):
             for i in range(60)]
     rows.append((100, [0.0] * 16))
     rows.append((101, None))
+    rows.append((102, [1.0, float("nan")] + [0.5] * 14))
+    rows.append((103, []))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = quantize_embeddings(emb)
     got = {r["vec_id"]: r for r in
            q.withColumn("deq", dequantize_expr("qembedding", "qscale"))
             .collect()}
+    assert got[102]["qembedding"] is None and got[102]["qscale"] is None
+    assert got[103]["qembedding"] == [] and got[103]["qscale"] == 0.0
     for i, vec in rows:
-        if vec is None:
-            assert got[i]["qembedding"] is None and got[i]["qscale"] is None
+        if vec is None or i in (102, 103):
+            if vec is None:
+                assert got[i]["qembedding"] is None
+                assert got[i]["qscale"] is None
             continue
         scale = got[i]["qscale"]
         if all(v == 0 for v in vec):
@@ -1066,3 +1075,109 @@ def test_quantize_embeddings_roundtrip_and_recall(spark):
         qt.setdefault(r["query_id"], set()).add(r["vec_id"])
     for qid in ex:
         assert len(ex[qid] & qt[qid]) >= 6  # >= 0.75 overlap at k=8
+
+
+def test_int8_rescore_paths_and_gate_margins(spark):
+    """The int8-rescore ANN paths (VERDICT r6 item 2) plus the UNDERLYING
+    scalars behind the pinned-flag driver rows (ADVICE r6): the driver
+    gates emit booleans only, so this test computes the raw margins at
+    sf0.01 — a regression toward a gate becomes visible locally (with
+    the measured value in the failure message) before it can trip the
+    driver red.
+
+      * ann_int8_rescore: per-query recall@10 of the int8-rescored
+        ann_topk vs the float path (driver gate >= 9/10; sf0.01
+        measures 10/10) and near-dup pair-set Jaccard (driver gate
+        0.9; sf0.01 measures ~0.984 — local floor 0.92).
+      * quantized_topk_recall: per-query n_common (driver gate >= 8;
+        local floor: min >= 8 AND mean >= 9 so a one-query slide is
+        already loud).
+    Candidate sets of the int8 path must be IDENTICAL to the float path
+    (bands come from float vectors) — checked exactly, not gated."""
+    from zh_ner_tf_spark.operators.dedup import embedding_near_dups
+    from zh_ner_tf_spark.operators.similarity import (
+        ann_candidate_pairs,
+        quantize_embeddings,
+        quantized_topk,
+    )
+    from zh_ner_tf_spark.sources.tables import (
+        table_embedding_dim,
+        table_row_count,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    nr = table_row_count(sf, "embeddings")
+    dm = table_embedding_dim(sf)
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    # identical candidate sets: float vs int8 carry
+    cand_f = ann_candidate_pairs(emb, queries, n_rows=nr, dim=dm,
+                                 carry_vec=False)
+    cand_8 = ann_candidate_pairs(emb, queries, n_rows=nr, dim=dm,
+                                 int8_rescore=True)
+    set_f = {(r["qid"], r["cid"]) for r in cand_f.collect()}
+    set_8 = {(r["qid"], r["cid"]) for r in cand_8.select("qid", "cid").collect()}
+    assert set_f == set_8
+
+    # ann_int8_rescore margins
+    base = ann_topk(emb, queries, k=10, n_rows=nr, dim=dm)
+    q8 = ann_topk(emb, queries, k=10, n_rows=nr, dim=dm, int8_rescore=True)
+    bs, qs = {}, {}
+    for r in base.collect():
+        bs.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in q8.collect():
+        qs.setdefault(r["query_id"], set()).add(r["vec_id"])
+    common = {k: len(bs[k] & qs.get(k, set())) for k in bs}
+    assert min(common.values()) >= 9, f"ann int8 recall margins: {common}"
+    nd_f = {(r["src"], r["dst"]) for r in
+            embedding_near_dups(emb, threshold=0.3, n_rows=nr, dim=dm)
+            .select("src", "dst").collect()}
+    nd_8 = {(r["src"], r["dst"]) for r in
+            embedding_near_dups(emb, threshold=0.3, n_rows=nr, dim=dm,
+                                int8_rescore=True)
+            .select("src", "dst").collect()}
+    jac = len(nd_f & nd_8) / max(len(nd_f | nd_8), 1)
+    assert jac >= 0.92, (
+        f"near-dup int8 agreement {jac:.4f} (|float|={len(nd_f)}, "
+        f"|int8|={len(nd_8)}, inter={len(nd_f & nd_8)})"
+    )
+
+    # quantized_topk_recall margins
+    exact = brute_force_topk(emb, queries, k=10)
+    quant = quantized_topk(quantize_embeddings(emb), queries, k=10)
+    ex, qt = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in quant.collect():
+        qt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ncommon = {k: len(ex[k] & qt.get(k, set())) for k in ex}
+    vals = list(ncommon.values())
+    assert min(vals) >= 8 and sum(vals) / len(vals) >= 9, (
+        f"quantized recall margins: {ncommon}"
+    )
+
+
+def test_ivf_codebook_quality_margin(spark):
+    """ADVICE r6 companion for ivf_codebook_quality: the driver row pins
+    never_worse (full-corpus refinement >= sample fit, 1e-6 slack) as a
+    boolean; here the raw mean-max-cos DELTA is computed and shown, so
+    drift toward the slack boundary is visible locally first."""
+    import __spark_entry__ as entry
+    from zh_ner_tf_spark.operators.similarity import (
+        fit_ivf_centroids,
+        fit_ivf_centroids_distributed,
+    )
+    from zh_ner_tf_spark.sources.tables import table_embedding_dim
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = table_embedding_dim(sf)
+    cent_d = fit_ivf_centroids_distributed(emb, n_centroids=8, iters=2,
+                                           dim=dim)
+    cent_s = fit_ivf_centroids(emb, n_centroids=8, iters=2)
+    delta = (entry._mean_max_cos(emb, cent_d)
+             - entry._mean_max_cos(emb, cent_s))
+    assert delta >= -1e-6, f"never_worse margin delta={delta:.2e}"

@@ -23,7 +23,11 @@ Scale notes:
   * ``localCheckpoint`` per iteration truncates the lineage so the plan
     does not grow O(iterations) (driver OOM killer at scale otherwise).
   * the convergence test is a driver-side count() — an intentional sync
-    point, one scalar per iteration.
+    point, one scalar per iteration. The changed flag is computed INSIDE
+    the compression projection (the old label rides the propagate
+    aggregate as one extra carried column), so the probe is a filter +
+    limit over the just-checkpointed labels — no extra join of two full
+    label tables per iteration (VERDICT r6).
   * giant-component skew: the groupBy key is the NODE, not the label, so
     a giant component does NOT create a hot key; label-side skew only
     appears in the final groupBy(label) materialization, which callers
@@ -59,19 +63,32 @@ def connected_components(
         .withColumn("component", F.col("node"))
     ).localCheckpoint()
 
+    comp_type = labels.schema["component"].dataType
     for _ in range(max_iter):
         # propagate: candidate label for each node = min over neighbors'
-        # current labels (plus its own)
+        # current labels (plus its own). The node's OLD label rides the
+        # aggregate as `_old` (labels contributes exactly one non-null
+        # `_old` row per node, and every nbr node exists in labels), so
+        # the convergence probe below needs no old-vs-new join.
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "component")
+            .withColumn("_old", F.lit(None).cast(comp_type))
         )
         new_labels = (
-            labels.unionByName(nbr)
+            labels.withColumn("_old", F.col("component"))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("_old").alias("_old"),
+            )
         )
-        # path compression: component -> its own current label
+        # path compression: component -> its own current label; the
+        # changed flag is part of the same projection
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("parent"), F.col("component"))
+        )
         compressed = (
             new_labels.alias("l")
             .join(
@@ -84,19 +101,12 @@ def connected_components(
             )
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("parent"), F.col("component"))
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != F.col("_old")).alias("_changed"),
             )
         ).localCheckpoint()
-        changed = (
-            compressed.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = compressed
+        changed = compressed.filter(F.col("_changed")).limit(1).count()
+        labels = compressed.drop("_changed")
         if changed == 0:
             break
     return labels

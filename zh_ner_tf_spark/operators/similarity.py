@@ -203,13 +203,18 @@ def _srp_bands(
     out_key: str,
     carry_vec: bool = False,
     impl: str | None = None,
+    carry_cols: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """(out_key[, _v_<out_key>], band_id, band_value) rows — the shared
-    banding shape consumed by banded_pairs_salted and the ann bucket
-    join. Band ``b``'s value is computed directly from its own plane
-    group planes[b*r:(b+1)*r] (bit j weight 2^j) — value-identical to
-    slicing a packed signature but NOT capped by the 63-bit bigint, so
-    the adaptive family can grow past 62 total planes at crawl scale.
+    """(out_key[, _v_<out_key>][, carried...], band_id, band_value) rows
+    — the shared banding shape consumed by banded_pairs_salted and the
+    ann bucket join. Band ``b``'s value is computed directly from its
+    own plane group planes[b*r:(b+1)*r] (bit j weight 2^j) —
+    value-identical to slicing a packed signature but NOT capped by the
+    63-bit bigint, so the adaptive family can grow past 62 total planes
+    at crawl scale. ``carry_cols`` = [(src_col, out_alias), ...] extra
+    columns carried through verbatim (the int8-rescore path carries
+    quantized codes + scale instead of the float vector — VERDICT r6
+    item 2).
 
     ``impl``: "jvm" (inlined plane-literal Column expressions — the
     value-exact form the DuckDB oracle replicates), "arrow" (one
@@ -231,7 +236,8 @@ def _srp_bands(
         impl = "arrow" if dim * n_bits > SRP_ARROW_GEMM_THRESHOLD else "jvm"
     if impl == "arrow":
         return _srp_bands_arrow(
-            df, key_col, vec_col, planes, n_bits, n_bands, out_key, carry_vec
+            df, key_col, vec_col, planes, n_bits, n_bands, out_key,
+            carry_vec, carry_cols,
         )
     if impl != "jvm":
         raise ValueError(f"impl must be 'jvm', 'arrow' or None, got {impl!r}")
@@ -252,7 +258,11 @@ def _srp_bands(
     cols = [F.col(key_col).alias(out_key)]
     if carry_vec:
         cols.append(F.col(vec_col).alias(f"_v_{out_key}"))
-    keep = [out_key] + ([f"_v_{out_key}"] if carry_vec else [])
+    for src_c, alias_c in carry_cols or []:
+        cols.append(F.col(src_c).alias(alias_c))
+    keep = [out_key] + ([f"_v_{out_key}"] if carry_vec else []) + [
+        a for _, a in (carry_cols or [])
+    ]
     return df.select(
         *cols,
         F.explode(
@@ -276,6 +286,7 @@ def _srp_bands_arrow(
     n_bands: int,
     out_key: str,
     carry_vec: bool = False,
+    carry_cols: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Arrow-GEMM form of _srp_bands: per Arrow batch, ONE [B, n_bits]
     matrix product computes every plane dot, signs pack into band
@@ -337,7 +348,11 @@ def _srp_bands_arrow(
     cols = [F.col(key_col).alias(out_key)]
     if carry_vec:
         cols.append(F.col(vec_col).alias(f"_v_{out_key}"))
-    keep = [out_key] + ([f"_v_{out_key}"] if carry_vec else [])
+    for src_c, alias_c in carry_cols or []:
+        cols.append(F.col(src_c).alias(alias_c))
+    keep = [out_key] + ([f"_v_{out_key}"] if carry_vec else []) + [
+        a for _, a in (carry_cols or [])
+    ]
     return df.select(
         *cols, F.explode(_bands(F.col(vec_col))).alias("bv")
     ).select(*keep, "bv.band_id", "bv.band_value")
@@ -704,6 +719,7 @@ def ann_candidate_pairs(
     n_probes: int = 1,
     dim: int | None = None,
     carry_vec: bool = True,
+    int8_rescore: bool = False,
 ) -> DataFrame | None:
     """The candidate stage of ann_topk, shared with the bench's density
     report so what the report measures is BY CONSTRUCTION the pipeline
@@ -711,7 +727,19 @@ def ann_candidate_pairs(
     (multi-probe when n_probes > 1), bucket equi-join, (qid, cid) dedup.
     Returns distinct candidate rows (qid, cid[, _v_qid, _v_cid]), or
     None for an empty corpus with unknown dim (callers fall back to the
-    exact path)."""
+    exact path).
+
+    ``int8_rescore=True`` carries int8 codes + per-row scale
+    (quantize_embeddings, computed in the same scan projection that
+    computes the bands) through the corpus band rows INSTEAD of the
+    float vector — the candidate rows that feed the (qid, cid) dedup
+    shuffle then move ~8x fewer vector bytes (the dominant exchange at
+    crawl scale: Q x density rows each dragging a corpus vector; the
+    corpus->join side itself never shuffles because the query bands are
+    broadcast). Bands are still computed from the FLOAT vectors, so the
+    candidate SET is identical to the float path; only the rescore
+    precision changes (recall-gated by the driver row). Output carries
+    (_q8_cid, _s8_cid) in place of _v_cid."""
     if dim is None:
         # skip null embeddings: size(NULL) is NULL, so probing the raw
         # first row would TypeError on int(None) instead of falling back
@@ -742,8 +770,16 @@ def ann_candidate_pairs(
             _srp_bands(queries, query_key, vec_col, planes, n_bits,
                        n_bands, "qid", carry_vec=carry_vec)
         )
-    cb = _srp_bands(corpus, key_col, vec_col, planes, n_bits, n_bands,
-                    "cid", carry_vec=carry_vec)
+    if int8_rescore:
+        corpus_q = quantize_embeddings(corpus, vec_col, "_q8", "_s8")
+        cb = _srp_bands(
+            corpus_q, key_col, vec_col, planes, n_bits, n_bands, "cid",
+            carry_vec=False,
+            carry_cols=[("_q8", "_q8_cid"), ("_s8", "_s8_cid")],
+        )
+    else:
+        cb = _srp_bands(corpus, key_col, vec_col, planes, n_bits, n_bands,
+                        "cid", carry_vec=carry_vec)
     return (
         qb.join(cb, ["band_id", "band_value"])
         .dropDuplicates(["qid", "cid"])
@@ -763,6 +799,7 @@ def ann_topk(
     n_rows: int | None = None,
     n_probes: int = 1,
     dim: int | None = None,
+    int8_rescore: bool = False,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: score only bucket-mates.
 
@@ -781,6 +818,13 @@ def ann_topk(
     trade at crawl scale where the corpus dominates. n_probes=1 keeps
     the exact single-bucket behavior (the oracle-replicated family).
 
+    ``int8_rescore=True`` moves corpus vectors through the candidate
+    stage as int8 codes + scale (~8x fewer bytes in the (qid, cid)
+    dedup exchange — the one shuffle that carries vectors) and
+    dequantizes INSIDE the rescore projection; the candidate set is
+    unchanged (bands come from the float vectors) and the recall cost
+    is bounded by the driver gate (ann_int8_rescore row).
+
     Pass ``dim`` (and ``n_rows``) from metadata — e.g.
     sources.tables.table_embedding_dim / table_row_count read parquet
     footers and one driver-side batch — to run with ZERO pre-flight
@@ -789,15 +833,20 @@ def ann_topk(
     pairs = ann_candidate_pairs(
         corpus, queries, key_col, vec_col, query_key, n_bits, n_bands,
         seed, n_rows, n_probes, dim, carry_vec=True,
+        int8_rescore=int8_rescore,
     )
     if pairs is None:
         # empty corpus: identical (empty) output via the exact path
         return brute_force_topk(corpus, queries, k, key_col, vec_col,
                                 query_key)
+    cvec = (
+        dequantize_expr("_q8_cid", "_s8_cid") if int8_rescore
+        else F.col("_v_cid")
+    )
     scored = pairs.select(
         F.col("qid").alias(query_key),
         F.col("cid").alias(key_col),
-        F.round(cosine_expr(F.col("_v_qid"), F.col("_v_cid")), 6).alias("cosine"),
+        F.round(cosine_expr(F.col("_v_qid"), cvec), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_key).orderBy(
         F.col("cosine").desc(), F.col(key_col).asc()
@@ -823,22 +872,35 @@ def quantize_embeddings(
     arithmetic (transform/array_max), no UDF, so quantization runs
     inside whole-stage codegen in the scan projection. An all-zero (or
     empty) vector stores scale 0 and all-zero codes; a NULL vector
-    stays NULL in both columns. Spark ``round`` is HALF_UP, codes span
-    [-127, 127] (no -128 edge case)."""
+    stays NULL in both columns. A vector containing NaN is treated like
+    the NULL branch (NULL scale, NULL codes): Spark orders NaN above
+    every double, so without the explicit guard ``maxabs > 0`` would be
+    TRUE, the scale would be NaN and every code round(x/NaN) would cast
+    to a NULL tinyint — a silent per-element degradation instead of a
+    detectable whole-row one (ADVICE r6). Spark ``round`` is HALF_UP,
+    codes span [-127, 127] (no -128 edge case)."""
     x = F.col(vec_col)
     maxabs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    # empty array -> array_max NULL: coalesce so the NaN probe stays a
+    # plain boolean and the empty vector keeps its scale-0 branch
+    has_nan = F.isnan(F.coalesce(maxabs, F.lit(0.0)))
     scale = maxabs / F.lit(127.0)
     q = F.when(
-        maxabs > 0,
+        ~has_nan & (maxabs > 0),
         F.transform(
             x, lambda v: F.round(v.cast("double") / scale).cast("tinyint")
         ),
-    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    ).when(
+        x.isNotNull() & ~has_nan,
+        F.transform(x, lambda v: F.lit(0).cast("tinyint")),
+    )
     return emb.withColumn(
         scale_col,
-        # NULL vector -> NULL scale (the unmatched-when default); zero
-        # or empty vector -> scale 0 with all-zero codes
-        F.when(maxabs > 0, scale).when(x.isNotNull(), F.lit(0.0)),
+        # NULL or NaN vector -> NULL scale (the unmatched-when default);
+        # zero or empty vector -> scale 0 with all-zero codes
+        F.when(~has_nan & (maxabs > 0), scale).when(
+            x.isNotNull() & ~has_nan, F.lit(0.0)
+        ),
     ).withColumn(q_col, q)
 
 
