@@ -782,3 +782,36 @@ def test_replay_with_changed_blocking_family_bootstraps(spark, tmp_path):
     ncols = ["canon_id", "surface", "etype", "freq"]
     assert frozen(read_snapshot(spark, os.path.join(groot, "nodes")), ncols) \
         == frozen(full["nodes"], ncols)
+
+
+def test_gen_pages_variant_slice_contract():
+    """The bench incremental probe's second increment relies on three
+    fixture properties (VERDICT r6 item 4): (1) variant_frac=0 (the
+    default) emits NO novel surfaces — the historical fixture stream is
+    untouched; (2) a variant slice emits the three planted novel
+    surfaces (pool surface + its first char — every char keeps its
+    entity class, so the planted tagger still spans it); (3) ``start``
+    offsets urls so a second slice appends without colliding."""
+    from zh_ner_tf_spark.fixtures.corpus import ENTITY_POOL
+    from zh_ner_tf_spark.fixtures.pages import gen_pages, oracle_extract_text
+
+    novel = ["".join(p[0]) + p[0][0] for p in ENTITY_POOL.values()]
+
+    def all_text(rows):
+        return " ".join(
+            r["text"] if r["text"] is not None
+            else oracle_extract_text(r["html"])
+            for r in rows
+        )
+
+    base = gen_pages(300, seed=42)
+    assert not any(s in all_text(base) for s in novel)
+
+    var = gen_pages(300, seed=43, variant_frac=0.25, start=4500)
+    vt = all_text(var)
+    assert all(s in vt for s in novel)
+    base_urls = {r["url"] for r in base}
+    assert not base_urls & {r["url"] for r in var}
+    # deterministic: same args -> same rows
+    again = gen_pages(300, seed=43, variant_frac=0.25, start=4500)
+    assert [r["html"] for r in again] == [r["html"] for r in var]

@@ -67,7 +67,24 @@ def oracle_extract_text(html: bytes) -> str:
 # mentions AND golden triples are computable in closed form by the caller
 # (via the oracle tagger + oracle pattern matcher).
 # --------------------------------------------------------------------------
-def gen_pages(n_rows: int = 1000, seed: int = 42) -> list[dict]:
+def gen_pages(
+    n_rows: int = 1000,
+    seed: int = 42,
+    variant_frac: float = 0.0,
+    start: int = 0,
+) -> list[dict]:
+    """``variant_frac`` > 0 makes that fraction of entity mentions use a
+    NOVEL surface — the pool surface extended by its own first char, so
+    every char keeps its planted class and the tagger still emits the
+    span — giving an increment slice genuinely new surfaces for the
+    delta-tail probes (VERDICT r6 item 4). One novel surface per entity
+    type keeps the new-surface fraction of the inventory bounded
+    (~3/12), and the 3-char shared prefix keeps shingle overlap high
+    enough to band-collide with the base surface (new CC edges). The
+    extra RNG draw happens only when variant_frac > 0, so the default
+    stream is byte-identical to the historical fixture. ``start``
+    offsets row indices (urls/timestamps) so a second slice appends
+    without colliding with an earlier one."""
     from zh_ner_tf_spark.config import TRIPLE_PATTERNS
     from zh_ner_tf_spark.fixtures.corpus import ENTITY_POOL, FILLER
 
@@ -76,11 +93,19 @@ def gen_pages(n_rows: int = 1000, seed: int = 42) -> list[dict]:
     langs = ["zh"] * 7 + ["en", "de", "fr"]
     rows = []
     base_ts = datetime.datetime(2025, 1, 1)
-    for i in range(n_rows):
+
+    def surface(etype: str) -> str:
+        pool = ENTITY_POOL[etype]
+        if variant_frac > 0.0 and rng.random() < variant_frac:
+            base = pool[0]
+            return "".join(base) + base[0]
+        return "".join(rng.choice(pool))
+
+    for i in range(start, start + n_rows):
         sents = []
         for _ in range(rng.randint(1, 4)):
-            subj = "".join(rng.choice(ENTITY_POOL["PER"]))
-            obj = "".join(rng.choice(ENTITY_POOL[rng.choice(("ORG", "LOC"))]))
+            subj = surface("PER")
+            obj = surface(rng.choice(("ORG", "LOC")))
             conn = rng.choice(connectives)
             pad = "".join(rng.choice(FILLER) for _ in range(rng.randint(0, 6)))
             sents.append(f"{subj}{conn}{obj}{pad}")

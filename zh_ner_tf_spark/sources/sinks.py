@@ -193,7 +193,21 @@ def _dir_fingerprint(data_dir: str) -> str:
     produces (a rewritten part file virtually never keeps identical
     size AND its task-UUID name), and mtime_ns closes the residual
     same-name-same-size rewrite hole (ADVICE r5) — a rewrite that also
-    forges mtimes is outside this store's threat model."""
+    forges mtimes is outside this store's threat model.
+
+    RESTORE CAVEAT (ADVICE r6): because mtime_ns participates, any
+    byte-identical but mtime-touching operation — archive restore,
+    cp/rsync without timestamp preservation, filesystem migration —
+    changes every fingerprint. Copy a snapshot store ONLY with
+    mtime-preserving tools (`cp -p`, `rsync -a`, tar). After a
+    non-preserving copy the store stays fully readable and consistent,
+    but two one-time effects appear at the boundary: a crash-replay
+    re-publish no longer matches the recorded fingerprint (the replay
+    commits an extra snapshot instead of deduping — append-only, never
+    corruption) and `snapshot_diff` refuses across the boundary. The
+    same one-time effects apply to manifests recorded under the
+    pre-mtime (path, size) scheme. Extra snapshots right after a
+    restore are this, not corruption."""
     import hashlib
 
     entries = []

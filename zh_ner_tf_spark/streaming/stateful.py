@@ -145,8 +145,50 @@ def _update_dedup_ttl(ttl_ms: int):
     return update
 
 
+def _update_dedup_event_ttl(ttl_ms: int):
+    """_update_dedup with an EVENT-TIME TTL (VERDICT r6 item 7): the
+    timeout timestamp is last-seen EVENT time + ttl, and eviction fires
+    when the WATERMARK (data-derived, checkpointed) passes it — never
+    the wall clock — so replaying a historical stream evicts at exactly
+    the same points every run. A group that receives data in the same
+    micro-batch its timeout would have fired keeps its state (Spark
+    only times out groups WITHOUT data in the batch — the standard
+    event-time-timeout semantics); eviction therefore happens on the
+    first data-free batch whose watermark has passed the deadline, and
+    a revisit AFTER that re-opens the group from zero."""
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        keep, n = state.get if state.exists else (None, 0)
+        mx_ms = None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            m = int(pdf["doc_id"].min())
+            keep = m if keep is None else min(keep, m)
+            bms = int(pd.Timestamp(pdf["_ets"].max()).value // 1_000_000)
+            mx_ms = bms if mx_ms is None else max(mx_ms, bms)
+        state.update((keep, n))
+        # the deadline must sit beyond the current watermark or Spark
+        # rejects it; a group whose events are already older than
+        # watermark - ttl gets the minimum legal deadline (evicts on
+        # the next data-free batch)
+        state.setTimeoutTimestamp(
+            max(mx_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {"content_hash": [key[0]], "keep_id": [keep], "n_dups": [n]}
+        )
+
+    return update
+
+
 def stream_dedup_groups(
-    docs: DataFrame, state_ttl_ms: int | None = None
+    docs: DataFrame,
+    state_ttl_ms: int | None = None,
+    event_time_col: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming exact deduplication: a document stream becomes running
     per-content-hash groups (keep_id = min doc id seen so far, n_dups =
@@ -171,7 +213,33 @@ def stream_dedup_groups(
     revisit AFTER eviction re-opens the group (re-emitting it as new —
     dedup becomes exact-within-TTL-window). Timeouts fire during
     micro-batch processing, including the first batch after a restart
-    from checkpoint."""
+    from checkpoint.
+
+    ``event_time_col``: with a TTL, names a timestamp column to switch
+    the TTL clock from processing time to EVENT time — the deadline is
+    last-seen event time + ttl and eviction is driven by the watermark
+    (``watermark_delay`` bounds out-of-order data), which is derived
+    from the DATA and checkpointed. A replayed historical stream then
+    evicts at exactly the same points every run, where the
+    processing-time TTL would evict wherever the wall clock happened
+    to fall (VERDICT r6 item 7)."""
+    if event_time_col is not None:
+        if state_ttl_ms is None:
+            raise ValueError("event_time_col requires state_ttl_ms")
+        hashed = docs.select(
+            F.md5(F.col("text")).alias("content_hash"),
+            F.col("doc_id"),
+            F.col(event_time_col).cast("timestamp").alias("_ets"),
+        )
+        if hashed.isStreaming:
+            hashed = hashed.withWatermark("_ets", watermark_delay)
+        return hashed.groupBy("content_hash").applyInPandasWithState(
+            _update_dedup_event_ttl(int(state_ttl_ms)),
+            outputStructType=_DEDUP_OUT_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     hashed = docs.select(
         F.md5(F.col("text")).alias("content_hash"), F.col("doc_id")
     )
