@@ -281,13 +281,18 @@ def run_kg_pipeline(spark, pages, weights, word2id) -> dict:
 
 
 def run_incremental_probe(spark, weights, word2id) -> dict:
-    """Crawl-consumption probe (r6): two snapshot appends consumed by
-    pipeline.run_incremental with the DELTA graph tail — reports
-    per-increment throughput plus the tail's input shape. The second
-    increment's `tail_new_surface_frac` is the O(new + touched)
-    evidence at bench scale: the fixture's surface inventory repeats,
-    so a delta tail sees ~0 new surfaces while a full tail would
-    re-block and re-canonicalize every accumulated mention."""
+    """Crawl-consumption probe (r6; non-degenerate since r7): two
+    snapshot appends consumed by pipeline.run_incremental with the
+    DELTA graph tail — reports per-increment throughput plus the
+    tail's input shape. The second increment is generated with
+    ``variant_frac`` so ~a quarter of its mentions carry genuinely NEW
+    surfaces (novel pool-char recombinations the tagger still spans):
+    the delta tail must block the new surfaces, band-join them against
+    the frozen inventory, and run CC over prior components ∪ new pairs
+    — so `inc2_pages_per_sec` measures the real O(new + touched) work,
+    not the trivial zero-new-surface fixed point (VERDICT r6 item 4).
+    `tail_new_surface_frac` and `cc_edge_rows` in the emitted block
+    must both be nonzero for the probe to count."""
     import shutil
     import tempfile
 
@@ -295,7 +300,9 @@ def run_incremental_probe(spark, weights, word2id) -> dict:
     from zh_ner_tf_spark.pipeline import run_incremental
     from zh_ner_tf_spark.sources.sinks import snapshot_append
 
-    rows = gen_pages(6000, seed=42)
+    rows = gen_pages(4500, seed=42) + gen_pages(
+        1500, seed=43, variant_frac=0.25, start=4500
+    )
 
     def df_of(rs):
         return spark.createDataFrame(
@@ -463,6 +470,72 @@ def near_dup_density(spark, sf_dir: str) -> dict:
     }
 
 
+def int8_rescore_timing(spark, sf_dir: str) -> dict:
+    """float-vs-int8 rescore wall time for the two vector-carrying ANN
+    hot paths (VERDICT r6 item 2 "not slower" evidence). At sandbox
+    scale the byte win is bounded (dim-64 vectors, broadcast-sized
+    candidate sets); the row documents non-regression — the 8x
+    shuffle-byte argument at crawl scale is structural."""
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.operators.dedup import embedding_near_dups
+    from zh_ner_tf_spark.operators.similarity import ann_topk
+    from zh_ner_tf_spark.sources.tables import (
+        table_embedding_dim,
+        table_row_count,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    nr = table_row_count(sf_dir, "embeddings")
+    dm = table_embedding_dim(sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out: dict = {}
+    for label, kw in (("float", {}), ("int8", {"int8_rescore": True})):
+        best_ann = best_nd = None
+        for _ in range(2):
+            t0 = time.time()
+            ann_topk(emb, queries, k=10, n_rows=nr, dim=dm, **kw) \
+                .write.format("noop").mode("overwrite").save()
+            d = time.time() - t0
+            best_ann = d if best_ann is None else min(best_ann, d)
+            t0 = time.time()
+            embedding_near_dups(emb, threshold=0.3, n_rows=nr, dim=dm, **kw) \
+                .write.format("noop").mode("overwrite").save()
+            d = time.time() - t0
+            best_nd = d if best_nd is None else min(best_nd, d)
+        out[f"ann_topk_{label}_sec"] = round(best_ann, 3)
+        out[f"near_dup_{label}_sec"] = round(best_nd, 3)
+    return out
+
+
+def graph_ops_timing(spark, sf_dir: str) -> dict:
+    """Wall time for the r7 graph/sampling debuts at sf scale (best of
+    2). Deliberately NOT in headline_total_sec — the headline query set
+    is frozen for round-over-round comparability; these land in their
+    own block. cooccur_triangles' cost is dominated by the upstream
+    span-extraction pipeline (~9s of ~20s cold at sf0.1), not the
+    triangle joins — the compact-forward orientation keeps the wedge
+    fan-out bounded even though the co-occurrence graph has near-global
+    hubs (max degree ~1900 of ~2200 nodes at sf0.1)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict = {}
+    for name in ("stratified_sample", "near_dup_keep_longest",
+                 "cooccur_triangles"):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            d = time.time() - t0
+            best = d if best is None else min(best, d)
+        out[f"{name}_sec"] = round(best, 3)
+    return out
+
+
 def run_tagger_fullsize(spark, sf_dir: str, n_docs: int) -> dict:
     """Reference-default model shape (D=H=300, main.py argparse [R])
     over sf documents — the compute-bound scaling probe."""
@@ -555,6 +628,8 @@ def main() -> None:
     result["tagger_chars_per_sec"] = tg["chars_per_sec"]
     result["embedding_near_dup_density"] = near_dup_density(spark, SF_DIR)
     result["ann_density"] = ann_density(spark, SF_DIR)
+    result["int8_rescore"] = int8_rescore_timing(spark, SF_DIR)
+    result["graph_ops"] = graph_ops_timing(spark, SF_DIR)
     result["incremental"] = run_incremental_probe(spark, weights, word2id)
     spark.stop()
 
@@ -573,11 +648,27 @@ def main() -> None:
         # 8, 32, ...) — an all-8s-then-all-32s schedule turns any drift
         # into a fake scaling signal. Fresh session per rep; best-of and
         # median reported per level.
+        # Load-aware retry (VERDICT r6 item 3): r6 recorded kg per-rep
+        # efficiencies [0.078, 0.231, 0.484] — every rep landed in a
+        # crushed host window and best-of-3 had nothing clean to pick.
+        # Each rep is now bracketed by a fast single-process GEMM probe
+        # (the job-matched control); a rep whose bracketing probes drop
+        # >30% below the session's best probe is kept in the record but
+        # flagged dirty, and the loop keeps running extra reps (up to
+        # MAX_ATTEMPTS total) until REPS clean-window reps exist.
         REPS = 3
+        MAX_ATTEMPTS = 6
+        CRUSH_FACTOR = 0.7
+
+        def _load_probe(reps: int = 60) -> float:
+            return reps / max(_gemm(reps), 1e-9)
+
         _med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
         runs: dict = {8: {"p": [], "t": []}, 32: {"p": [], "t": []}}
         prof_samples: dict = {8: [], 32: []}
-        for rep in range(REPS):
+        probe_pairs: list = []
+        while True:
+            p_before = _load_probe()
             for n in (8, 32):
                 s = _spark(f"local[{n}]")
                 pages_n = _bench_pages_spark(s, N_SCALING_PAGES)
@@ -593,6 +684,14 @@ def main() -> None:
                     run_triples_stage_profiled(s, pages_n, weights, word2id)
                 )
                 s.stop()
+            probe_pairs.append([round(p_before, 1), round(_load_probe(), 1)])
+            best_probe = max(max(pp) for pp in probe_pairs)
+            clean_flags = [
+                min(pp) >= CRUSH_FACTOR * best_probe for pp in probe_pairs
+            ]
+            if sum(clean_flags) >= REPS or len(probe_pairs) >= MAX_ATTEMPTS:
+                break
+        REPS = len(probe_pairs)  # downstream per-rep lists span all reps
         profs = {}
         for n in (8, 32):
             ps = prof_samples[n]
@@ -650,6 +749,8 @@ def main() -> None:
             )
             for i in range(REPS)
         ]
+        clean_pipe = [e for e, c in zip(pipe_rep_effs, clean_flags) if c]
+        clean_tag = [e for e, c in zip(tag_rep_effs, clean_flags) if c]
         scaling["per_rep_efficiency"] = {
             "kg_pipeline": pipe_rep_effs,
             "tagger": tag_rep_effs,
@@ -657,6 +758,16 @@ def main() -> None:
             "tagger_best": max(tag_rep_effs),
             "kg_pipeline_median": _med(pipe_rep_effs),
             "tagger_median": _med(tag_rep_effs),
+            # clean-window subset: reps whose bracketing GEMM probes
+            # stayed within CRUSH_FACTOR of the session's best probe
+            "kg_pipeline_best_clean": max(clean_pipe) if clean_pipe else None,
+            "tagger_best_clean": max(clean_tag) if clean_tag else None,
+        }
+        scaling["load_probes"] = {
+            "pairs_matmuls_per_sec": probe_pairs,
+            "clean": clean_flags,
+            "crush_factor": CRUSH_FACTOR,
+            "clean_reps": sum(clean_flags),
         }
         # triples/s headlines stay tied to ONE named workload each:
         # result["triples_per_sec"] = the 24k-fixture-page FULL pipeline
@@ -743,6 +854,7 @@ def _stdout_summary(result: dict) -> dict:
             "efficiency_kg_pipeline": s.get("efficiency_kg_pipeline"),
             "efficiency_tagger": s.get("efficiency_tagger"),
             "per_rep_efficiency": s.get("per_rep_efficiency"),
+            "clean_reps": s.get("load_probes", {}).get("clean_reps"),
             "alu_ceiling": c.get("ceiling_efficiency"),
             "gemm_ceiling": c.get("gemm_ceiling_efficiency"),
             "efficiency_vs_ceiling": s.get("efficiency_vs_ceiling"),
@@ -760,6 +872,10 @@ def _stdout_summary(result: dict) -> dict:
             "candidates_per_query"
         ),
     }
+    if result.get("int8_rescore"):
+        out["int8_rescore"] = result["int8_rescore"]
+    if result.get("graph_ops"):
+        out["graph_ops"] = result["graph_ops"]
     inc = result.get("incremental")
     if inc:
         out["incremental"] = {
