@@ -653,6 +653,104 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup (r7 debut): same LSH-pair + CC
+    clustering as near_dup_clusters, but the kept representative is the
+    cluster member with the most characters (NULL loses, ties to the
+    lowest doc id) — the keep-the-longest-version decision a real crawl
+    dedup makes. cluster_id stays the min member id; integer arithmetic
+    end to end, so the oracle replicates it exactly (reachability
+    closure + one ordered window)."""
+    from zh_ner_tf_spark.operators.dedup import near_dup_keep_best
+
+    return near_dup_keep_best(
+        _docs(spark, sf_dir), "doc_id", "text", "n_chars", k=3
+    ).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("cluster_id").cast("bigint"),
+        F.col("quality").cast("bigint"),
+        F.col("keep").cast("bigint"),
+    )
+
+
+def q_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree table of the MinHash-LSH candidate graph (r7 debut): per
+    document, how many distinct near-dup candidates it collided with —
+    the first-line density probe on the dedup graph (a spiking degree
+    histogram means the banding family needs widening). Stable row set:
+    every document appears, isolated ones with degree 0."""
+    from zh_ner_tf_spark.operators.blocking import lsh_doc_pairs
+    from zh_ner_tf_spark.operators.graph_stats import degree_table
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_doc_pairs(docs, "doc_id", "text", k=3)
+    return degree_table(
+        pairs, "src", "dst",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    ).select(F.col("node").cast("bigint"), F.col("degree").cast("bigint"))
+
+
+def _mention_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, node) membership rows for the co-occurrence graph:
+    node = 'ETYPE:mention' from the gold-rule BIO spans (ASCII, so the
+    string ordering the graph ops rely on is byte-identical across
+    engines)."""
+    tagged = _rule_tagged(_tokens(spark, sf_dir), GOLD_ORG, GOLD_HI)
+    spans = extract_spans(
+        tagged, ["doc_id"], "pos", "tag", "token", joiner=" "
+    )
+    return spans.select(
+        "doc_id",
+        F.concat(F.col("etype"), F.lit(":"), F.col("mention")).alias("node"),
+    )
+
+
+def q_mention_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention co-occurrence edge construction (r7 debut): typed
+    mentions sharing a document become weighted undirected KG edges
+    (node_a < node_b, n_docs = documents containing both) — the edge
+    table entity-relatedness scoring consumes downstream of the
+    extract stage. Per-doc fan-out is bounded by mentions-per-doc,
+    never by corpus-wide mention frequency."""
+    from zh_ner_tf_spark.operators.graph_stats import cooccurrence_edges
+
+    return cooccurrence_edges(
+        _mention_nodes(spark, sf_dir), "doc_id", "node"
+    ).select("node_a", "node_b", F.col("n_groups").cast("bigint").alias("n_docs"))
+
+
+def q_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the mention co-occurrence graph (r7
+    debut): compact-forward enumeration — edges oriented by (degree,
+    node) rank so every wedge is generated at its lowest-ranked vertex,
+    bounding hub fan-out at O(sqrt(m)) — then one equi-join closes the
+    wedges. The triangle SET is orientation-invariant, so the plain
+    ordered three-way-join oracle checks it exactly."""
+    from zh_ner_tf_spark.operators.graph_stats import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    edges = cooccurrence_edges(_mention_nodes(spark, sf_dir), "doc_id", "node")
+    return triangle_counts(edges, "node_a", "node_b").select(
+        "node", F.col("n_triangles").cast("bigint")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixing (r7
+    debut): keep a per-language fraction of documents by CONTENT hash
+    (poly_hash(doc_id) mod 100 < rate[lang]) — the same rows every run,
+    at every parallelism, across engines; a pure map-side codegen
+    filter, no shuffle, no rand()."""
+    from zh_ner_tf_spark.operators.sampling import hash_stratified_sample
+
+    return hash_stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        {"zh": 50, "en": 30, "de": 10, "es": 10, "fr": 10},
+    ).select(F.col("doc_id").cast("bigint"), "lang")
+
+
 def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal ingestion plumbing through the driver gate: document
     text re-encoded as an opaque binary payload rides the real
@@ -1554,9 +1652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deliberate ROTATION with two invariants (adopted r5, VERDICT r4
     item 1 — twice a new operator shipped without a driver row):
 
-      1. a NEW query DEBUTS inside the 50-row window (r7 debut:
-         ann_int8_rescore; the four r6 debuts stay in-window for a
-         second consecutive driver check, the r5-debut precedent);
+      1. a NEW query DEBUTS inside the 50-row window (r7 debuts:
+         ann_int8_rescore, near_dup_keep_longest, neardup_degrees,
+         mention_cooccurrence, cooccur_triangles, stratified_sample;
+         the four r6 debuts stay in-window for a second consecutive
+         driver check, the r5-debut precedent);
       2. a rotated-out entry returns within ONE round. r7 RETURNS all
          13 rows r6 rotated out (filter_pushdown_scan, orders_by_month,
          events_by_type, char_frequency, tokenize, cc_one_iteration,
@@ -1566,16 +1666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          r8: the nine relational queries (driver-green r1-r4 and r6;
          relational family reps stay via the returning trivial queries
          + topk/sessionize/rollup cousins asof_events_orders,
-         sessionize_events, running_user_totals, approx_quantiles_
-         orders, heavy_hitters_status) plus five multi-round-green rows
-         whose operator family keeps an in-window representative
-         (argmax_decode — ner_tagger_mentions/token_accuracy/
-         train_descent stay; ngram_jaccard_adjacent — dedup_exact/
-         simhash/winnow/minhash/lsh/near_dup_clusters stay;
-         token_counts — lang_id/quality_features/doc_fingerprint stay;
-         windowed_event_counts and range_join_dates — sessionize_
-         events/running_user_totals/running_window/asof_events_orders
-         stay).
+         sessionize_events, approx_quantiles_orders) plus ten
+         multi-round-green rows whose operator family keeps an
+         in-window representative (argmax_decode — ner_tagger_mentions/
+         token_accuracy/train_descent stay; ngram_jaccard_adjacent and
+         simhash — dedup_exact/winnow/minhash/lsh/near_dup_clusters/
+         near_dup_keep_longest stay; token_counts and doc_fingerprint —
+         lang_id/quality_features stay; windowed_event_counts,
+         range_join_dates and running_user_totals — sessionize_events/
+         running_window/asof_events_orders stay; heavy_hitters_status —
+         approx_quantiles_orders/approx_distinct_documents stay;
+         salted_agg_events — salted_join_events stays).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1584,8 +1685,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ner_tagger_mentions": q_ner_tagger_mentions,
         "ivf_topk_full": q_ivf_topk_full,
-        # --- r7 debut (invariant 1) ---
+        # --- r7 debuts (invariant 1) ---
         "ann_int8_rescore": q_ann_int8_rescore,
+        "near_dup_keep_longest": q_near_dup_keep_longest,
+        "neardup_degrees": q_neardup_degrees,
+        "mention_cooccurrence": q_mention_cooccurrence,
+        "cooccur_triangles": q_cooccur_triangles,
+        "stratified_sample": q_stratified_sample,
         # --- r6 debuts, kept for a second consecutive driver check ---
         "ivf_codebook_quality": q_ivf_codebook_quality,
         "cc_delta": q_cc_delta,
@@ -1607,12 +1713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         # --- standing coverage ---
         "approx_quantiles_orders": q_approx_quantiles_orders,
-        "heavy_hitters_status": q_heavy_hitters_status,
         "stream_dedup_totals": q_stream_dedup_totals,
         "salted_join_events": q_salted_join_events,
         "train_descent": q_train_descent,
         "cc_full": q_cc_full,
-        "salted_agg_events": q_salted_agg_events,
         "anti_join_resume": q_anti_join_resume,
         "sentence_split": q_sentence_split,
         "vocab_build": q_vocab_build,
@@ -1623,7 +1727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ingest": q_media_ingest,
         "entity_blocking": q_entity_blocking,
         "dedup_exact": q_dedup_exact,
-        "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "extract_text_bytes": q_extract_text_bytes,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1632,10 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_edges": q_pipeline_edges,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
-        "doc_fingerprint": q_doc_fingerprint,
         "asof_events_orders": q_asof_events_orders,
         "sessionize_events": q_sessionize_events,
-        "running_user_totals": q_running_user_totals,
         # --- below the driver's 50-row window this round: rotation pool
         # only — every entry here is multi-round driver-green, due back
         # inside the window in r8 (invariant 2); ALL are gated locally
@@ -1654,6 +1755,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "windowed_event_counts": q_windowed_event_counts,
         "range_join_dates": q_range_join_dates,
+        "heavy_hitters_status": q_heavy_hitters_status,
+        "salted_agg_events": q_salted_agg_events,
+        "simhash": q_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "running_user_totals": q_running_user_totals,
     }
 
 
@@ -2476,6 +2582,106 @@ SELECT d.doc_id::BIGINT AS doc_id,
        (CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
              THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+    # near_dup_keep_longest: same reachability closure as
+    # near_dup_clusters, plus one ordered window picking the longest
+    # member (NULL n_chars -> -1, ties to the lowest doc id). Shares the
+    # recursive-CTE shape (quadratic in cluster size — fine at fixture
+    # scale, see the cc_full closed form for the iterative alternative).
+    fam_sqls["near_dup_keep_longest"] = f"""
+WITH RECURSIVE bands AS ({_minhash_bands_sql()}),
+pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT src AS a, dst AS b FROM pairs
+  UNION ALL SELECT dst AS a, src AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id,
+         coalesce(d.n_chars, -1)::BIGINT AS quality
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        ORDER BY quality DESC, doc_id ASC) AS rn FROM lab)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       quality, (CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM r
+"""
+
+    # neardup_degrees: symmetrize the lsh pair set, count distinct
+    # neighbors, left join from the full document universe (degree 0
+    # for isolated docs)
+    fam_sqls["neardup_degrees"] = f"""
+WITH bands AS ({_minhash_bands_sql()}),
+pairs AS ({_LSH_PAIRS_SQL}),
+sym AS (
+  SELECT DISTINCT src AS node, dst AS nb FROM pairs WHERE src <> dst
+  UNION
+  SELECT DISTINCT dst AS node, src AS nb FROM pairs WHERE src <> dst
+),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM sym GROUP BY node)
+SELECT d.doc_id::BIGINT AS node, coalesce(g.degree, 0)::BIGINT AS degree
+FROM documents d LEFT JOIN deg g ON g.node = d.doc_id
+"""
+
+    # the co-occurrence membership CTE shared by mention_cooccurrence
+    # and cooccur_triangles: distinct (doc, 'ETYPE:mention') rows from
+    # the gold-rule spans
+    cooccur_nodes = f"""
+WITH toks AS ({_TOKS_SQL}),{spans_gold},
+nodes AS (
+  SELECT DISTINCT doc_id, etype || ':' || mention AS node FROM gspans
+),
+pairs AS (
+  SELECT a.node AS node_a, b.node AS node_b
+  FROM nodes a JOIN nodes b
+    ON a.doc_id = b.doc_id AND a.node < b.node
+)"""
+
+    fam_sqls["mention_cooccurrence"] = f"""{cooccur_nodes}
+SELECT node_a, node_b, count(*)::BIGINT AS n_docs
+FROM pairs GROUP BY node_a, node_b
+"""
+
+    # cooccur_triangles: ordered three-way join (a < b < c) over the
+    # distinct co-occurrence edge set — orientation-invariant, so it
+    # checks the engine's degree-oriented compact-forward enumeration
+    # exactly; per-node counts via a 3-way contribution union
+    fam_sqls["cooccur_triangles"] = f"""{cooccur_nodes},
+E AS (SELECT DISTINCT node_a AS a, node_b AS b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM E e1 JOIN E e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN E e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+contrib AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+counts AS (SELECT node, count(*)::BIGINT AS n_triangles
+           FROM contrib GROUP BY node),
+univ AS (SELECT DISTINCT a AS node FROM E UNION SELECT DISTINCT b FROM E)
+SELECT u.node, coalesce(c.n_triangles, 0)::BIGINT AS n_triangles
+FROM univ u LEFT JOIN counts c ON c.node = u.node
+"""
+
+    # stratified_sample: the keep predicate is the verbatim shared
+    # polynomial hash — membership is a pure function of doc_id, so
+    # both engines keep the SAME rows
+    _rate_case = (
+        "CASE lang WHEN 'zh' THEN 50 WHEN 'en' THEN 30 WHEN 'de' THEN 10 "
+        "WHEN 'es' THEN 10 WHEN 'fr' THEN 10 ELSE 0 END"
+    )
+    fam_sqls["stratified_sample"] = f"""
+SELECT doc_id::BIGINT AS doc_id, lang
+FROM documents
+WHERE {_poly_sql("doc_id::VARCHAR")} % 100 < {_rate_case}
 """
 
     fam_sqls["media_ingest"] = """

@@ -96,6 +96,9 @@ DOC_QUERIES = [
     "simhash", "ngram_jaccard_adjacent", "winnow_fingerprint", "lang_id",
     "quality_features", "token_counts", "doc_fingerprint",
     "stream_dedup_totals", "approx_distinct_documents",
+    # r7 debuts — all documents-only
+    "near_dup_keep_longest", "neardup_degrees", "mention_cooccurrence",
+    "cooccur_triangles", "stratified_sample",
 ]
 
 

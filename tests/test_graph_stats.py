@@ -1,0 +1,211 @@
+"""Unit tests for operators/graph_stats.py (co-occurrence edges,
+degrees, compact-forward triangle counting), operators/sampling.py
+(deterministic stratified sampling), and dedup.near_dup_keep_best
+(quality-aware near-dup representative) — hand-computable fixtures
+with closed-form expectations; the driver-shaped oracle compare lives
+in test_entry_contract.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.operators.graph_stats import (
+    cooccurrence_edges,
+    degree_table,
+    triangle_counts,
+)
+from zh_ner_tf_spark.operators.sampling import (
+    hash_stratified_sample,
+    stratified_keep_expr,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_edges
+# ---------------------------------------------------------------------------
+def test_cooccurrence_edges_counts_groups_not_multiplicity(spark):
+    # doc 1: a,b,c (b twice — still one membership); doc 2: a,b; doc 3: c
+    rows = [(1, "a"), (1, "b"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, node string")
+    got = {
+        (r["node_a"], r["node_b"]): r["n_groups"]
+        for r in cooccurrence_edges(df, "doc_id", "node").collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_cooccurrence_edges_singleton_group_emits_nothing(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, node string")
+    assert cooccurrence_edges(df, "doc_id", "node").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# degree_table
+# ---------------------------------------------------------------------------
+def test_degree_table_symmetrizes_and_dedups(spark):
+    # (a,b) listed both ways + repeated, (b,c) once, self-loop (d,d)
+    pairs = _pairs(
+        spark, [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("d", "d")]
+    )
+    got = {r["node"]: r["degree"] for r in degree_table(pairs).collect()}
+    assert got == {"a": 1, "b": 2, "c": 1}
+
+
+def test_degree_table_with_node_universe_fills_zero(spark):
+    pairs = _pairs(spark, [("a", "b")])
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("z",)], "node string"
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in degree_table(pairs, nodes=nodes).collect()
+    }
+    assert got == {"a": 1, "b": 1, "z": 0}
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+def test_triangle_counts_k4_clique(spark):
+    # K4: every vertex is in C(3,2) = 3 triangles; 4 triangles total
+    vs = ["a", "b", "c", "d"]
+    edges = [(u, v) for i, u in enumerate(vs) for v in vs[i + 1:]]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_pairs(spark, edges)).collect()
+    }
+    assert got == {v: 3 for v in vs}
+
+
+def test_triangle_counts_triangle_plus_pendant(spark):
+    # triangle a-b-c plus pendant edge c-d: d participates in none but
+    # IS in the output (incident to an edge); orientation ties (equal
+    # degrees within the triangle) resolve by node id
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_pairs(spark, edges)).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_triangle_counts_edge_order_and_dups_invariant(spark):
+    # reversed/duplicated edge listings must not change the counts
+    edges = [("b", "a"), ("a", "b"), ("c", "b"), ("a", "c"), ("c", "a")]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_pairs(spark, edges)).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_star_has_none(spark):
+    # hub star: max degree, zero triangles — the shape the degree
+    # orientation exists for (hub generates no wedges: it is always the
+    # highest-ranked endpoint)
+    edges = [("hub", f"leaf{i}") for i in range(5)]
+    got = triangle_counts(_pairs(spark, edges))
+    assert got.count() == 6
+    assert got.agg(F.sum("n_triangles")).first()[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# hash_stratified_sample
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def strata_docs(spark):
+    rows = [(i, ["zh", "en", "xx"][i % 3]) for i in range(300)]
+    rows.append((300, None))  # NULL stratum
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(strata_docs):
+    rates = {"zh": 100, "en": 50, "xx": 0}
+    out1 = sorted(
+        r["doc_id"]
+        for r in hash_stratified_sample(
+            strata_docs, "doc_id", "lang", rates
+        ).collect()
+    )
+    out2 = sorted(
+        r["doc_id"]
+        for r in hash_stratified_sample(
+            strata_docs, "doc_id", "lang", rates
+        ).collect()
+    )
+    assert out1 == out2  # same rows every run
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in hash_stratified_sample(strata_docs, "doc_id", "lang", rates)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang.get("zh") == 100          # rate 100/100 keeps all
+    assert "xx" not in by_lang               # rate 0 keeps none
+    assert 20 <= by_lang.get("en", 0) <= 80  # ~50% of 100, loose band
+    assert None not in by_lang               # NULL -> default_rate 0
+
+
+def test_stratified_sample_null_stratum_uses_default_rate(strata_docs):
+    kept = hash_stratified_sample(
+        strata_docs, "doc_id", "lang", {"zh": 0}, default_rate=100
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 300 in ids                        # NULL lang kept (default 100)
+    assert not any(i % 3 == 0 for i in ids if i < 300)  # zh dropped
+
+
+def test_stratified_keep_expr_validates_rates(strata_docs):
+    with pytest.raises(ValueError):
+        stratified_keep_expr("doc_id", "lang", {"zh": 101})
+    with pytest.raises(ValueError):
+        stratified_keep_expr("doc_id", "lang", {}, denom=0)
+
+
+# ---------------------------------------------------------------------------
+# near_dup_keep_best
+# ---------------------------------------------------------------------------
+def test_near_dup_keep_best_prefers_quality_then_min_id(spark):
+    from zh_ner_tf_spark.operators.dedup import near_dup_keep_best
+
+    # docs 1,2,3 near-identical (one cluster; 3 is the longest);
+    # docs 10,11 identical text AND equal length (tie -> min id);
+    # doc 20 unique (own cluster, keep itself); doc 21 NULL text
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, len(base)),
+        (2, base + " iota", len(base) + 5),
+        (3, base + " iota kappa", len(base) + 11),
+        (10, "the quick brown fox jumps", 25),
+        (11, "the quick brown fox jumps", 25),
+        (20, "completely unrelated text here", 30),
+        (21, None, None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    )
+    out = near_dup_keep_best(docs, "doc_id", "text", "n_chars").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 7
+    # cluster ids stay min-member
+    assert by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == 1
+    assert by_id[3]["cluster_id"] == 1
+    assert by_id[10]["cluster_id"] == by_id[11]["cluster_id"] == 10
+    # representative = longest, NOT min id
+    keeps = {r["doc_id"] for r in out if r["keep"] == 1}
+    assert 3 in keeps and 1 not in keeps and 2 not in keeps
+    # equal quality -> min id wins
+    assert 10 in keeps and 11 not in keeps
+    # singletons keep themselves; NULL text doc is its own cluster
+    assert 20 in keeps and 21 in keeps
+    assert by_id[21]["quality"] == -1
+    # exactly one keep per cluster
+    import collections
+    per_cluster = collections.Counter(
+        r["cluster_id"] for r in out if r["keep"] == 1
+    )
+    assert all(v == 1 for v in per_cluster.values())
+    assert set(per_cluster) == {r["cluster_id"] for r in out}

@@ -569,3 +569,50 @@ def near_dup_clusters(
             "keep", (F.col(id_col) == F.col("cluster_id")).cast("bigint")
         )
     )
+
+
+def near_dup_keep_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+    k: int = 3,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
+    seed: int | None = None,
+) -> DataFrame:
+    """``near_dup_clusters`` with a QUALITY-AWARE representative: the
+    kept copy of each near-dup cluster is the member with the highest
+    ``quality_col`` (NULL quality always loses), ties broken by the
+    lowest id — the decision a real crawl dedup stage makes (keep the
+    longest / highest-scoring version of a page, not whichever copy
+    happened to get the smallest id). ``cluster_id`` stays the min
+    member id (a stable cluster key independent of quality drift
+    between crawls); only the ``keep`` flag moves.
+
+    The winner per cluster is one ``max(struct(quality, -id))``
+    aggregate — map-side combinable, no window over the corpus — joined
+    back on ``cluster_id``; cluster sizes bound the join's skew (a
+    pathological mega-cluster is a dedup-parameter bug upstream, not a
+    plan hazard here)."""
+    clusters = near_dup_clusters(
+        docs, id_col, text_col, k, n_hashes, n_bands, seed
+    ).drop("keep")
+    q = F.coalesce(F.col(quality_col).cast("bigint"), F.lit(-1))
+    labeled = clusters.join(
+        docs.select(F.col(id_col), q.alias("_q")), id_col
+    )
+    winners = labeled.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_q"), (-F.col(id_col)).alias("_nid")))
+        .alias("_best")
+    )
+    return (
+        labeled.join(winners, "cluster_id")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("_q").alias("quality"),
+            (F.col(id_col) == -F.col("_best._nid")).cast("bigint")
+            .alias("keep"),
+        )
+    )

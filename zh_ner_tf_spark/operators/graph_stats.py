@@ -1,0 +1,183 @@
+"""Graph analytics over constructed graphs — co-occurrence edge
+construction, degree tables, and triangle counting.
+
+The KG-construction pipeline materializes two graph families this
+module analyzes: the MinHash-LSH near-dup candidate graph over
+documents (operators/blocking.py) and the mention co-occurrence graph
+over extracted entities (nodes = typed mentions, edges weighted by the
+number of documents in which both appear). Degree and triangle
+statistics are the standard first-line structure probes on both — hub
+detection on the co-occurrence graph, cluster-density sanity on the
+dedup graph.
+
+Scale shapes (the part that matters at 10^12 docs):
+
+- ``cooccurrence_edges`` fans out per GROUP (document), so its cost is
+  bounded by (mentions per doc)^2 — a per-row constant — never by
+  corpus-wide node frequency; the aggregation that follows is a plain
+  hash shuffle on the pair key with map-side combine.
+- ``triangle_counts`` uses the degree-ordered orientation (each
+  undirected edge directed from its lower-(degree, id) endpoint):
+  every wedge is generated at its lowest-ranked vertex, which bounds
+  the self-join fan-out per vertex by O(sqrt(m)) on any graph — the
+  classic compact-forward bound — instead of letting a single hub
+  vertex generate degree^2 wedge candidates. The triangle SET is
+  orientation-invariant, which is what makes the operator exactly
+  oracle-checkable against a plain ordered three-way SQL join.
+
+All arithmetic is integer/string comparisons in JVM expressions — no
+UDFs, no floats — so every output here is exact across engines.
+
+Reference: the reference repo has no graph analytics; this is graft
+extension infrastructure (BASELINE.json north_rule: canonicalization +
+graph materialize imply a graph worth inspecting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    node_col: str = "node",
+) -> DataFrame:
+    """(group, node) membership rows -> weighted undirected co-occurrence
+    edges ``(node_a, node_b, n_groups)`` with ``node_a < node_b`` and
+    ``n_groups`` = number of distinct groups containing both nodes.
+
+    Membership is deduplicated per group first, so a node mentioned
+    five times in one document still contributes one membership — edge
+    weights count GROUPS, not mention multiplicity. The within-group
+    self-join keys on ``group_col`` (co-partitioned by construction:
+    one shuffle produces both sides), and the ``node_a < node_b``
+    predicate keeps each unordered pair once."""
+    nodes = df.select(group_col, node_col).distinct()
+    a = nodes.select(
+        F.col(group_col).alias("_g"), F.col(node_col).alias("node_a")
+    )
+    b = nodes.select(
+        F.col(group_col).alias("_g"), F.col(node_col).alias("node_b")
+    )
+    return (
+        a.join(b, "_g")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+def degree_table(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Undirected degree per node from an edge-pair DataFrame ->
+    ``(node, degree)``. Edges are symmetrized and deduplicated first,
+    so a pair listed in both orders (or repeated) still counts one
+    neighbor. With ``nodes`` (a one-column DataFrame named ``node``),
+    the output covers that node universe with degree 0 for isolated
+    nodes — the stable-row-set form a downstream join wants."""
+    sym = (
+        pairs.select(F.col(src).alias("node"), F.col(dst).alias("_nb"))
+        .union(pairs.select(F.col(dst).alias("node"), F.col(src).alias("_nb")))
+        .filter(F.col("node") != F.col("_nb"))
+        .distinct()
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    if nodes is None:
+        return deg
+    return (
+        nodes.join(deg, "node", "left")
+        .select("node", F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts -> ``(node,
+    n_triangles)`` over every node incident to at least one edge
+    (isolated nodes have no triangles by definition and are omitted —
+    pass the output through a left join for a fixed node universe).
+
+    Algorithm (compact-forward): canonicalize the undirected edge set,
+    orient each edge from its lower (degree, node) endpoint to the
+    higher, enumerate wedges at the lowest-ranked vertex of each
+    triangle only (self-join of the oriented edges on their source,
+    second endpoints rank-ordered), and close each wedge against the
+    oriented edge set. Each triangle is found exactly once, and the
+    per-vertex wedge fan-out is bounded by the oriented out-degree,
+    which the degree ordering caps at O(sqrt(m)) — a hub of degree d
+    generates O(sqrt(m)) wedge candidates here versus O(d^2) for a
+    naive enumeration. Both joins are hash equi-joins on node keys;
+    no broadcast is required (edges join edges) and no step is
+    quadratic in a hot node's degree."""
+    # localCheckpoint: the canonical edge set is referenced by the
+    # degree computation, both orientation joins, the wedge self-join
+    # sides and the closing join — without materialization the caller's
+    # whole upstream (e.g. span extraction + co-occurrence aggregation)
+    # re-executes once per reference (~6x; the blocking.py precedent)
+    e = (
+        pairs.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = degree_table(e, "u", "v")
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    # rank = (degree, node): total order, so exactly one direction per edge
+    lo_first = F.struct(F.col("_du"), F.col("u")) < F.struct(
+        F.col("_dv"), F.col("v")
+    )
+    def rank(deg_col: str, node_col: str) -> F.Column:
+        # uniform field names so the two CASE branches type-match
+        return F.struct(
+            F.col(deg_col).alias("d"), F.col(node_col).alias("n")
+        )
+
+    # oriented is referenced three times (both wedge sides + closing
+    # join): materialize the m-row edge list once instead of re-running
+    # the degree joins per reference
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, rank("_dv", "v"))
+        .otherwise(rank("_du", "u"))
+        .alias("_rank_b"),
+    ).localCheckpoint()
+    e1 = oriented.select("a", F.col("b").alias("b1"), F.col("_rank_b").alias("_r1"))
+    e2 = oriented.select("a", F.col("b").alias("b2"), F.col("_rank_b").alias("_r2"))
+    wedges = e1.join(e2, "a").filter(F.col("_r1") < F.col("_r2"))
+    # the closing edge (b1, b2) is oriented b1 -> b2 because rank(b1) <
+    # rank(b2): one equi-join closes every wedge
+    closing = oriented.select(
+        F.col("a").alias("b1"), F.col("b").alias("b2")
+    )
+    tri = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
+    contrib = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b1").alias("node")))
+        .union(tri.select(F.col("b2").alias("node")))
+    )
+    counts = contrib.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    all_nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    return (
+        all_nodes.join(counts, "node", "left")
+        .select(
+            "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+        )
+    )
