@@ -776,10 +776,24 @@ def main() -> None:
         result["triples_stage_per_sec"] = scaling[f"local{CPUS}"][
             "kg_pipeline"
         ]["triples_per_sec"] if f"local{CPUS}" in scaling else None
-        # BOTH jobs are reported against the >=0.8 gate — no cross-job max
-        scaling["efficiency_kg_pipeline"] = round(eff_pipe, 3)
-        scaling["efficiency_tagger"] = round(eff_tag, 3)
-        scaling["efficiency"] = round(min(eff_pipe, eff_tag), 3)
+        # BOTH jobs are reported against the >=0.8 gate — no cross-job
+        # max. The GATED number is the best CLEAN-window per-rep
+        # (time-local) efficiency: a dirty-flagged rep can still hold
+        # the max one-sided throughput, so the cross-rep best-of ratio
+        # can pair a crushed 8-side with a quiet 32-side from different
+        # reps and report drift, not scaling (review finding r7). The
+        # cross-rep ratio stays recorded as a diagnostic. Falls back to
+        # all-rep per-rep best when no rep's window was clean.
+        gate_pipe = max(clean_pipe) if clean_pipe else max(pipe_rep_effs)
+        gate_tag = max(clean_tag) if clean_tag else max(tag_rep_effs)
+        scaling["efficiency_kg_pipeline"] = round(gate_pipe, 3)
+        scaling["efficiency_tagger"] = round(gate_tag, 3)
+        scaling["efficiency"] = round(min(gate_pipe, gate_tag), 3)
+        scaling["efficiency_crossrep"] = {
+            "kg_pipeline": round(eff_pipe, 3),
+            "tagger": round(eff_tag, 3),
+        }
+        eff_pipe, eff_tag = gate_pipe, gate_tag
         ceiling = cpu_ceiling()
         scaling["hardware_ceiling"] = ceiling
         # clamp to 1.0: a control that scales super-linearly (the host

@@ -158,6 +158,16 @@ def test_stratified_sample_null_stratum_uses_default_rate(strata_docs):
     assert not any(i % 3 == 0 for i in ids if i < 300)  # zh dropped
 
 
+def test_stratified_sample_null_id_always_dropped(spark):
+    # NULL id -> NULL hash -> NULL predicate -> dropped at EVERY rate
+    # (documented: membership of an identity-less row is undefined)
+    df = spark.createDataFrame(
+        [(None, "zh"), (1, "zh")], "doc_id long, lang string"
+    )
+    kept = hash_stratified_sample(df, "doc_id", "lang", {"zh": 100})
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
 def test_stratified_keep_expr_validates_rates(strata_docs):
     with pytest.raises(ValueError):
         stratified_keep_expr("doc_id", "lang", {"zh": 101})

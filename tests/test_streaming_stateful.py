@@ -458,3 +458,100 @@ def test_stream_dedup_event_time_ttl_replay_deterministic(spark, tmp_path):
     # wall-clock independence: full replay from a fresh checkpoint is
     # byte-identical, emission order included
     assert run_all("ckpt_b") == out
+
+
+# ---------------------------------------------------------------------------
+# event-time TTL deadline semantics (unit level — a fake GroupState
+# drives _update_dedup_event_ttl directly, so the monotone-deadline and
+# NaT-guard rules are pinned without Spark's watermark row-filtering
+# policy in the loop)
+# ---------------------------------------------------------------------------
+class _FakeState:
+    def __init__(self, watermark_ms=0):
+        self.exists = False
+        self.hasTimedOut = False
+        self._value = None
+        self._wm = watermark_ms
+        self.timeout_ts = None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+        self.exists = True
+
+    def remove(self):
+        self._value = None
+        self.exists = False
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def _run_update(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "_ets"])
+    return list(fn(("h",), iter([pdf]), state))
+
+
+def test_event_ttl_deadline_never_moves_earlier():
+    """A late-but-valid out-of-order arrival (older event time that
+    still beats the watermark) must not shrink the dedup window: the
+    deadline stays max-event-time + ttl (review finding r7)."""
+    import pandas as pd
+
+    from zh_ner_tf_spark.streaming.stateful import _update_dedup_event_ttl
+
+    fn = _update_dedup_event_ttl(5000)
+    t = lambda s: pd.Timestamp("2024-01-01 10:00:00") + pd.Timedelta(  # noqa: E731
+        seconds=s
+    )
+    ms = lambda s: int(t(s).value // 1_000_000)  # noqa: E731
+
+    state = _FakeState(watermark_ms=ms(-100))
+    _run_update(fn, state, [(1, t(20))])
+    assert state.timeout_ts == ms(20) + 5000
+    # out-of-order arrival at t+16: deadline must NOT drop to 16+5
+    state._wm = ms(6)
+    _run_update(fn, state, [(2, t(16))])
+    assert state.timeout_ts == ms(20) + 5000
+    assert state.get == (1, 2, ms(20))
+    # a newer arrival extends it
+    _run_update(fn, state, [(3, t(30))])
+    assert state.timeout_ts == ms(30) + 5000
+
+
+def test_event_ttl_null_event_times_do_not_poison_deadline():
+    """NULL event times (pandas NaT) are skipped when folding the max —
+    a NaT would otherwise become int64-min and collapse the deadline to
+    watermark+1, evicting the group regardless of ttl. A batch with
+    ONLY NULL-ts rows still counts dups and keeps the prior-max
+    deadline; a group that never saw a usable event time gets the
+    minimum legal deadline."""
+    import pandas as pd
+
+    from zh_ner_tf_spark.streaming.stateful import _update_dedup_event_ttl
+
+    fn = _update_dedup_event_ttl(5000)
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    ms0 = int(t0.value // 1_000_000)
+
+    state = _FakeState(watermark_ms=ms0 - 60_000)
+    _run_update(fn, state, [(1, t0)])
+    assert state.timeout_ts == ms0 + 5000
+    # NULL-ts batch: counted, deadline unchanged (watermark still low)
+    out = _run_update(fn, state, [(2, pd.NaT)])
+    assert out[0]["n_dups"].iloc[0] == 2
+    assert state.get == (1, 2, ms0)
+    assert state.timeout_ts == ms0 + 5000
+    # group that has ONLY ever seen NULL ts -> minimum legal deadline
+    s2 = _FakeState(watermark_ms=ms0)
+    _run_update(fn, s2, [(9, pd.NaT)])
+    assert s2.timeout_ts == ms0 + 1
+    assert s2.get == (9, 1, None)

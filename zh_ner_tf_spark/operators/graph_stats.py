@@ -172,9 +172,9 @@ def triangle_counts(
     counts = contrib.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    all_nodes = e.select(F.col("u").alias("node")).union(
-        e.select(F.col("v").alias("node"))
-    ).distinct()
+    # deg already holds exactly the incident-node universe (one row per
+    # node touching an edge) — no need to re-scan e for it
+    all_nodes = deg.select("node")
     return (
         all_nodes.join(counts, "node", "left")
         .select(

@@ -44,7 +44,14 @@ def stratified_keep_expr(
     compose it — e.g. tag rows instead of filtering). ``rates`` maps a
     stratum value to the number of hash buckets (of ``denom``) kept;
     a stratum absent from ``rates`` — including NULL — falls through to
-    ``default_rate``. All comparisons are integer."""
+    ``default_rate``. All comparisons are integer.
+
+    A NULL id has no hash bucket, so its membership is undefined and
+    the predicate is NULL — ``filter`` DROPS such rows at every rate,
+    including rate = denom. That is deliberate: a row without an
+    identity cannot be sampled reproducibly (it would flip membership
+    whenever an id backfill lands). Assign ids upstream if NULL-id rows
+    must be sampleable."""
     if not 0 < denom:
         raise ValueError(f"denom must be positive, got {denom}")
     for s, r in rates.items():

@@ -105,6 +105,9 @@ def running_user_totals_batch(events: DataFrame) -> DataFrame:
 
 
 _DEDUP_STATE_SCHEMA = "keep_id bigint, n bigint"
+# the event-time variant also carries the max event time seen (ms), so
+# an out-of-order late arrival can never move a deadline EARLIER
+_DEDUP_EVENT_STATE_SCHEMA = "keep_id bigint, n bigint, mx_ms bigint"
 _DEDUP_OUT_SCHEMA = "content_hash string, keep_id bigint, n_dups bigint"
 
 
@@ -155,27 +158,39 @@ def _update_dedup_event_ttl(ttl_ms: int):
     only times out groups WITHOUT data in the batch — the standard
     event-time-timeout semantics); eviction therefore happens on the
     first data-free batch whose watermark has passed the deadline, and
-    a revisit AFTER that re-opens the group from zero."""
+    a revisit AFTER that re-opens the group from zero.
+
+    The MAX event time seen rides the state, so the deadline is
+    monotone: a late-but-valid out-of-order arrival (one that beats
+    the watermark but carries an older timestamp) can only extend or
+    keep the deadline, never shrink the dedup window below ttl of the
+    group's newest event. NULL event times are skipped when folding
+    the max (pandas NaT would otherwise poison it with int64-min); a
+    batch with ONLY NULL-ts rows for a group still counts its dups and
+    keeps the deadline derived from the prior max."""
 
     def update(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        keep, n = state.get if state.exists else (None, 0)
-        mx_ms = None
+        keep, n, mx_ms = state.get if state.exists else (None, 0, None)
         for pdf in pdf_iter:
             n += len(pdf)
             m = int(pdf["doc_id"].min())
             keep = m if keep is None else min(keep, m)
-            bms = int(pd.Timestamp(pdf["_ets"].max()).value // 1_000_000)
-            mx_ms = bms if mx_ms is None else max(mx_ms, bms)
-        state.update((keep, n))
+            ets = pdf["_ets"].dropna()
+            if len(ets):
+                bms = int(pd.Timestamp(ets.max()).value // 1_000_000)
+                mx_ms = bms if mx_ms is None else max(mx_ms, bms)
+        state.update((keep, n, mx_ms))
         # the deadline must sit beyond the current watermark or Spark
         # rejects it; a group whose events are already older than
-        # watermark - ttl gets the minimum legal deadline (evicts on
-        # the next data-free batch)
+        # watermark - ttl (or that only ever saw NULL event times) gets
+        # the minimum legal deadline (evicts on the next data-free
+        # batch)
+        wm_floor = state.getCurrentWatermarkMs() + 1
         state.setTimeoutTimestamp(
-            max(mx_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            wm_floor if mx_ms is None else max(mx_ms + ttl_ms, wm_floor)
         )
         yield pd.DataFrame(
             {"content_hash": [key[0]], "keep_id": [keep], "n_dups": [n]}
@@ -236,7 +251,7 @@ def stream_dedup_groups(
         return hashed.groupBy("content_hash").applyInPandasWithState(
             _update_dedup_event_ttl(int(state_ttl_ms)),
             outputStructType=_DEDUP_OUT_SCHEMA,
-            stateStructType=_DEDUP_STATE_SCHEMA,
+            stateStructType=_DEDUP_EVENT_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
