@@ -472,17 +472,18 @@ def embedding_near_dups(
     hot buckets (see lsh_candidates).
 
     ``int8_rescore=True``: both vector-carrying joins (src side and dst
-    side of the rescore) move int8 codes + per-row scale instead of the
-    float vectors — ~8x fewer shuffle bytes on the two exchanges that
-    dominate this operator at crawl scale — and the cosine dequantizes
-    inside the post-join projection. The candidate pair set is
-    unchanged (banding stays on the float vectors); pairs whose true
-    cosine sits within the int8 rounding error of ``threshold`` may
-    flip, which the driver row gates on pair-set agreement >= 0.9
-    (VERDICT r6 item 2)."""
+    side of the rescore) move int8 codes instead of the float vectors —
+    ~8x fewer shuffle bytes on the two exchanges that dominate this
+    operator at crawl scale — and the cosine runs directly on the code
+    arrays: cosine is scale-invariant (cos(s_a*qa, s_b*qb) ==
+    cos(qa, qb) for positive scales; a scale-0 vector has all-zero
+    codes either way), so the per-row scale is neither carried nor
+    applied. The candidate pair set is unchanged (banding stays on the
+    float vectors); pairs whose true cosine sits within the int8
+    rounding error of ``threshold`` may flip, which the driver row
+    gates on pair-set agreement >= 0.9 (VERDICT r6 item 2)."""
     from zh_ner_tf_spark.operators.similarity import (
         cosine_expr,
-        dequantize_expr,
         lsh_candidates,
         quantize_embeddings,
     )
@@ -494,12 +495,11 @@ def embedding_near_dups(
     if int8_rescore:
         qed = quantize_embeddings(emb, vec_col, "_q8", "_s8")
         a = qed.select(F.col(key_col).alias("src"),
-                       F.col("_q8").alias("_qa"), F.col("_s8").alias("_sa"))
+                       F.col("_q8").alias("_qa"))
         b = qed.select(F.col(key_col).alias("dst"),
-                       F.col("_q8").alias("_qb"), F.col("_s8").alias("_sb"))
+                       F.col("_q8").alias("_qb"))
         joined = pairs.select("src", "dst").join(a, "src").join(b, "dst")
-        cos = cosine_expr(dequantize_expr("_qa", "_sa"),
-                          dequantize_expr("_qb", "_sb"))
+        cos = cosine_expr(F.col("_qa"), F.col("_qb"))
         return (
             joined.select("src", "dst", F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold)

@@ -729,17 +729,20 @@ def ann_candidate_pairs(
     None for an empty corpus with unknown dim (callers fall back to the
     exact path).
 
-    ``int8_rescore=True`` carries int8 codes + per-row scale
-    (quantize_embeddings, computed in the same scan projection that
-    computes the bands) through the corpus band rows INSTEAD of the
-    float vector — the candidate rows that feed the (qid, cid) dedup
-    shuffle then move ~8x fewer vector bytes (the dominant exchange at
-    crawl scale: Q x density rows each dragging a corpus vector; the
-    corpus->join side itself never shuffles because the query bands are
-    broadcast). Bands are still computed from the FLOAT vectors, so the
-    candidate SET is identical to the float path; only the rescore
-    precision changes (recall-gated by the driver row). Output carries
-    (_q8_cid, _s8_cid) in place of _v_cid."""
+    ``int8_rescore=True`` carries int8 codes (quantize_embeddings,
+    computed in the same scan projection that computes the bands)
+    through the corpus band rows INSTEAD of the float vector — the
+    candidate rows that feed the (qid, cid) dedup shuffle then move
+    ~8x fewer vector bytes (the dominant exchange at crawl scale: Q x
+    density rows each dragging a corpus vector; the corpus->join side
+    itself never shuffles because the query bands are broadcast). The
+    per-row scale is NOT carried: cosine is scale-invariant
+    (cos(s*q, y) == cos(q, y) for s > 0; a scale-0 vector has all-zero
+    codes either way), so the rescore runs directly on the code
+    arrays and dequantization never happens. Bands are still computed
+    from the FLOAT vectors, so the candidate SET is identical to the
+    float path; only the rescore precision changes (recall-gated by
+    the driver row). Output carries _q8_cid in place of _v_cid."""
     if dim is None:
         # skip null embeddings: size(NULL) is NULL, so probing the raw
         # first row would TypeError on int(None) instead of falling back
@@ -775,7 +778,7 @@ def ann_candidate_pairs(
         cb = _srp_bands(
             corpus_q, key_col, vec_col, planes, n_bits, n_bands, "cid",
             carry_vec=False,
-            carry_cols=[("_q8", "_q8_cid"), ("_s8", "_s8_cid")],
+            carry_cols=[("_q8", "_q8_cid")],
         )
     else:
         cb = _srp_bands(corpus, key_col, vec_col, planes, n_bits, n_bands,
@@ -819,9 +822,11 @@ def ann_topk(
     the exact single-bucket behavior (the oracle-replicated family).
 
     ``int8_rescore=True`` moves corpus vectors through the candidate
-    stage as int8 codes + scale (~8x fewer bytes in the (qid, cid)
-    dedup exchange — the one shuffle that carries vectors) and
-    dequantizes INSIDE the rescore projection; the candidate set is
+    stage as int8 codes (~8x fewer bytes in the (qid, cid) dedup
+    exchange — the one shuffle that carries vectors) and rescores
+    directly on the code arrays: cosine is scale-invariant, so the
+    per-row scale is neither carried nor applied (and integer-valued
+    doubles make the code-side dot/norms EXACT). The candidate set is
     unchanged (bands come from the float vectors) and the recall cost
     is bounded by the driver gate (ann_int8_rescore row).
 
@@ -839,10 +844,7 @@ def ann_topk(
         # empty corpus: identical (empty) output via the exact path
         return brute_force_topk(corpus, queries, k, key_col, vec_col,
                                 query_key)
-    cvec = (
-        dequantize_expr("_q8_cid", "_s8_cid") if int8_rescore
-        else F.col("_v_cid")
-    )
+    cvec = F.col("_q8_cid") if int8_rescore else F.col("_v_cid")
     scored = pairs.select(
         F.col("qid").alias(query_key),
         F.col("cid").alias(key_col),
@@ -878,30 +880,43 @@ def quantize_embeddings(
     TRUE, the scale would be NaN and every code round(x/NaN) would cast
     to a NULL tinyint — a silent per-element degradation instead of a
     detectable whole-row one (ADVICE r6). Spark ``round`` is HALF_UP,
-    codes span [-127, 127] (no -128 edge case)."""
+    codes span [-127, 127] (no -128 edge case).
+
+    maxabs/scale are STAGED as their own projections before the code
+    transform consumes them as plain column references: inlining the
+    array_max expression inside the per-element lambda would recompute
+    it per element — O(dim^2) per row, the regression the r7 bench
+    caught (int8 paths measuring ~50% slower than float at dim=64).
+    Catalyst's CollapseProject keeps multi-referenced non-cheap aliases
+    staged, so the scan stays O(dim) per row."""
     x = F.col(vec_col)
-    maxabs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
-    # empty array -> array_max NULL: coalesce so the NaN probe stays a
-    # plain boolean and the empty vector keeps its scale-0 branch
-    has_nan = F.isnan(F.coalesce(maxabs, F.lit(0.0)))
-    scale = maxabs / F.lit(127.0)
+    staged = emb.withColumn(
+        "_qmaxabs",
+        # empty array -> array_max NULL: coalesced at the NaN probe so
+        # the empty vector keeps its scale-0 branch
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))),
+    )
+    m = F.col("_qmaxabs")
+    has_nan = F.isnan(F.coalesce(m, F.lit(0.0)))
+    staged = staged.withColumn(
+        scale_col,
+        # NULL or NaN vector -> NULL scale (the unmatched-when default);
+        # zero or empty vector -> scale 0 with all-zero codes
+        F.when(~has_nan & (m > 0), m / F.lit(127.0)).when(
+            x.isNotNull() & ~has_nan, F.lit(0.0)
+        ),
+    )
+    s = F.col(scale_col)
     q = F.when(
-        ~has_nan & (maxabs > 0),
+        ~has_nan & (m > 0),
         F.transform(
-            x, lambda v: F.round(v.cast("double") / scale).cast("tinyint")
+            x, lambda v: F.round(v.cast("double") / s).cast("tinyint")
         ),
     ).when(
         x.isNotNull() & ~has_nan,
         F.transform(x, lambda v: F.lit(0).cast("tinyint")),
     )
-    return emb.withColumn(
-        scale_col,
-        # NULL or NaN vector -> NULL scale (the unmatched-when default);
-        # zero or empty vector -> scale 0 with all-zero codes
-        F.when(~has_nan & (maxabs > 0), scale).when(
-            x.isNotNull() & ~has_nan, F.lit(0.0)
-        ),
-    ).withColumn(q_col, q)
+    return staged.withColumn(q_col, q).drop("_qmaxabs")
 
 
 def dequantize_expr(q_col: str, scale_col: str) -> Column:
