@@ -491,23 +491,25 @@ def int8_rescore_timing(spark, sf_dir: str) -> dict:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out: dict = {}
-    for label, kw in (("float", {}), ("int8", {"int8_rescore": True})):
-        best_ann = best_nd = None
-        for _ in range(2):
+    # reps INTERLEAVE the two variants (float, int8, float, int8, ...)
+    # so host drift between blocks cannot masquerade as a variant
+    # difference — the same discipline the scaling reps use
+    best: dict = {}
+    for _ in range(3):
+        for label, kw in (("float", {}), ("int8", {"int8_rescore": True})):
             t0 = time.time()
             ann_topk(emb, queries, k=10, n_rows=nr, dim=dm, **kw) \
                 .write.format("noop").mode("overwrite").save()
             d = time.time() - t0
-            best_ann = d if best_ann is None else min(best_ann, d)
+            k_ = f"ann_topk_{label}_sec"
+            best[k_] = d if k_ not in best else min(best[k_], d)
             t0 = time.time()
             embedding_near_dups(emb, threshold=0.3, n_rows=nr, dim=dm, **kw) \
                 .write.format("noop").mode("overwrite").save()
             d = time.time() - t0
-            best_nd = d if best_nd is None else min(best_nd, d)
-        out[f"ann_topk_{label}_sec"] = round(best_ann, 3)
-        out[f"near_dup_{label}_sec"] = round(best_nd, 3)
-    return out
+            k_ = f"near_dup_{label}_sec"
+            best[k_] = d if k_ not in best else min(best[k_], d)
+    return {k: round(v, 3) for k, v in best.items()}
 
 
 def graph_ops_timing(spark, sf_dir: str) -> dict:
@@ -907,6 +909,9 @@ def _stdout_summary(result: dict) -> dict:
                     h = json.loads(ln)
                 except ValueError:
                     continue
+                # same-scale series only (legacy no-sf lines = sf0.1)
+                if h.get("sf", "0.1") != result.get("sf"):
+                    continue
                 band.append({
                     "kg": h.get("eff_kg_per_rep_best"),
                     "tag": h.get("eff_tagger_per_rep_best"),
@@ -925,6 +930,7 @@ def _append_history(result: dict) -> list[str]:
     os.makedirs("BENCH", exist_ok=True)
     s = result.get("scaling", {})
     rec = {
+        "sf": result.get("sf"),
         "headline_sec": result.get("value"),
         "headline_median_sec": result.get("value_median"),
         "triples_pattern_best": result.get("queries", {}).get("triples_pattern"),
@@ -953,9 +959,14 @@ def _append_history(result: dict) -> list[str]:
         with open("BENCH/history.jsonl") as f:
             for ln in f.readlines():
                 try:
-                    hist.append(json.loads(ln))
+                    h = json.loads(ln)
                 except ValueError:
-                    pass
+                    continue
+                # the band is a same-scale series: keep only records at
+                # this run's sf (legacy lines without an sf field are
+                # the pre-r7 sf0.1 series)
+                if h.get("sf", "0.1") == result.get("sf"):
+                    hist.append(h)
         for h in hist[-8:]:
             lines.append(f"- `{json.dumps(h)}`")
     except OSError:
