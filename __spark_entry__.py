@@ -421,9 +421,11 @@ def q_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_accuracy(_rule_tagged_both(_tokens(spark, sf_dir)))
 
 
-def q_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER span + immediately following ORG span, connective keyword in
-    the token gap -> (subj, pred, obj)."""
+    the token gap -> (doc_id, subj, pred, obj, s_end, o_begin) — the
+    shared extraction both q_triples_pattern and q_triple_confidence
+    consume."""
     toks = _tokens(spark, sf_dir)
     tagged = _rule_tagged(toks, GOLD_ORG, GOLD_HI)
     spans = extract_spans(tagged, ["doc_id"], "pos", "tag", "token", joiner=" ")
@@ -477,6 +479,34 @@ def q_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "subj", "pred", "obj",
             F.col("s_end").cast("bigint"), F.col("o_begin").cast("bigint"),
         )
+    )
+
+
+def q_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER span + immediately following ORG span, connective keyword in
+    the token gap -> (subj, pred, obj)."""
+    return _gold_triples(spark, sf_dir)
+
+
+def q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion-selection scoring over the extracted triples (r7
+    debut): per distinct (subj, pred, obj), extraction support ``n``,
+    slot total ``sp_total`` over (subj, pred), relative confidence
+    ``conf = round(n / sp_total, 6)`` and a deterministic within-slot
+    rank (support desc, obj) — the noise filter that picks which of
+    several contradictory web-extracted objects a KG keeps for a slot.
+    conf is one int/int IEEE division (exact, order-independent), so
+    the oracle matches it bit-for-bit."""
+    from zh_ner_tf_spark.operators.triples import triple_confidence
+
+    return triple_confidence(
+        _gold_triples(spark, sf_dir).select("subj", "pred", "obj")
+    ).select(
+        "subj", "pred", "obj",
+        F.col("n").cast("bigint"),
+        F.col("sp_total").cast("bigint"),
+        "conf",
+        "rnk",
     )
 
 
@@ -735,6 +765,54 @@ def q_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, "node_a", "node_b").select(
         "node", F.col("n_triangles").cast("bigint")
     )
+
+
+def q_pagerank_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-lattice PageRank on the mention co-occurrence graph (r7
+    debut): 3 unrolled power steps, damping 85/100, scores as BIGINT
+    multiples of 1e-12 — every step is integer `div` on BIGINT sums,
+    so the result is bit-exact at any parallelism and the oracle
+    replicates it verbatim with `//`. This is the entity-importance
+    signal canonicalization uses to pick display names / disambiguate
+    hub entities; per-iteration cost is one equi-join + one
+    map-side-combinable sum shuffle (the CC cost shape, fixed count).
+    """
+    from zh_ner_tf_spark.operators.graph_stats import (
+        cooccurrence_edges,
+        pagerank_integer,
+    )
+
+    edges = cooccurrence_edges(_mention_nodes(spark, sf_dir), "doc_id", "node")
+    return pagerank_integer(edges, "node_a", "node_b", iterations=3).select(
+        "node",
+        F.col("degree").cast("bigint"),
+        F.col("pr_scaled").cast("bigint"),
+    )
+
+
+def q_khop_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood extraction on the mention co-occurrence
+    graph (r7 debut): seeds = every edge-incident PER node; output =
+    (node, min hop in 0..2). The frontier is deduplicated between hops
+    (a hub reached by many paths expands once), min-hop resolved by one
+    final groupBy — the subgraph-cut primitive KG consumers run before
+    per-entity context work. Integer/string ops only — exact."""
+    from zh_ner_tf_spark.operators.graph_stats import (
+        cooccurrence_edges,
+        khop_neighborhood,
+    )
+
+    edges = cooccurrence_edges(_mention_nodes(spark, sf_dir), "doc_id", "node")
+    # localCheckpoint: seeds + the operator's symmetrize both consume
+    # the edge list; without it the mention-extraction upstream re-runs
+    edges = edges.localCheckpoint()
+    seeds = (
+        edges.select(F.col("node_a").alias("node"))
+        .union(edges.select(F.col("node_b").alias("node")))
+        .distinct()
+        .filter(F.col("node").startswith("PER:"))
+    )
+    return khop_neighborhood(edges, seeds, k=2, src="node_a", dst="node_b")
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1654,7 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
       1. a NEW query DEBUTS inside the 50-row window (r7 debuts:
          ann_int8_rescore, near_dup_keep_longest, neardup_degrees,
-         mention_cooccurrence, cooccur_triangles, stratified_sample;
+         mention_cooccurrence, cooccur_triangles, stratified_sample,
+         pagerank_mentions, khop_mentions, triple_confidence;
          the four r6 debuts stay in-window for a second consecutive
          driver check, the r5-debut precedent);
       2. a rotated-out entry returns within ONE round. r7 RETURNS all
@@ -1676,7 +1755,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          range_join_dates and running_user_totals — sessionize_events/
          running_window/asof_events_orders stay; heavy_hitters_status —
          approx_quantiles_orders/approx_distinct_documents stay;
-         salted_agg_events — salted_join_events stays).
+         salted_agg_events — salted_join_events stays; and, to make
+         room for the three late-r7 graph/triple debuts:
+         quality_features — lang_id/token_counts-family rep stays via
+         lang_id; winnow_fingerprint — dedup_exact/minhash_bands/
+         lsh_doc_pairs/near_dup_clusters stay; sessionize_events —
+         asof_events_orders/running_window stay).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1692,6 +1776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_cooccurrence": q_mention_cooccurrence,
         "cooccur_triangles": q_cooccur_triangles,
         "stratified_sample": q_stratified_sample,
+        "pagerank_mentions": q_pagerank_mentions,
+        "khop_mentions": q_khop_mentions,
+        "triple_confidence": q_triple_confidence,
         # --- r6 debuts, kept for a second consecutive driver check ---
         "ivf_codebook_quality": q_ivf_codebook_quality,
         "cc_delta": q_cc_delta,
@@ -1730,13 +1817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "extract_text_bytes": q_extract_text_bytes,
         "embedding_near_dup": q_embedding_near_dup,
-        "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_triples": q_pipeline_triples,
         "pipeline_edges": q_pipeline_edges,
         "lang_id": q_lang_id,
-        "quality_features": q_quality_features,
         "asof_events_orders": q_asof_events_orders,
-        "sessionize_events": q_sessionize_events,
         # --- below the driver's 50-row window this round: rotation pool
         # only — every entry here is multi-round driver-green, due back
         # inside the window in r8 (invariant 2); ALL are gated locally
@@ -1760,6 +1844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "running_user_totals": q_running_user_totals,
+        "quality_features": q_quality_features,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -2513,7 +2600,9 @@ FROM t
         "WHEN gap LIKE '%group%' THEN 'groups' "
         "WHEN gap LIKE '%sort%' THEN 'sorts' END"
     )
-    fam_sqls["triples_pattern"] = f"""
+    # the extraction CTE chain shared by triples_pattern and
+    # triple_confidence (`trip` = the final extracted-triple rows)
+    triples_chain = f"""
 WITH toks AS ({_TOKS_SQL}),{spans_gold},
 pairs AS (
   SELECT doc_id, mention AS subj, etype AS s_type, e_pos AS s_end,
@@ -2527,9 +2616,29 @@ gaps AS (
          coalesce(string_agg(t.token, ' ' ORDER BY t.pos), '') AS gap
   FROM cand c LEFT JOIN toks t
     ON t.doc_id = c.doc_id AND t.pos > c.s_end AND t.pos < c.o_begin
-  GROUP BY c.doc_id, c.subj, c.obj, c.s_end, c.o_begin)
+  GROUP BY c.doc_id, c.subj, c.obj, c.s_end, c.o_begin),
+trip AS (
+  SELECT doc_id, subj, pred, obj, s_end, o_begin
+  FROM (SELECT *, {triple_case} AS pred FROM gaps) WHERE pred IS NOT NULL)"""
+
+    fam_sqls["triples_pattern"] = f"""{triples_chain}
 SELECT doc_id, subj, pred, obj, s_end::BIGINT AS s_end, o_begin::BIGINT AS o_begin
-FROM (SELECT *, {triple_case} AS pred FROM gaps) WHERE pred IS NOT NULL
+FROM trip
+"""
+
+    # triple_confidence: slot totals + rank via windows over the
+    # aggregated (subj, pred, obj) support counts; conf is one
+    # int/int IEEE division — exact in both engines
+    fam_sqls["triple_confidence"] = f"""{triples_chain},
+agg AS (SELECT subj, pred, obj, count(*)::BIGINT AS n
+        FROM trip GROUP BY subj, pred, obj),
+tot AS (SELECT *, sum(n) OVER (PARTITION BY subj, pred) AS sp_total
+        FROM agg)
+SELECT subj, pred, obj, n, sp_total::BIGINT AS sp_total,
+       round(n::DOUBLE / sp_total::DOUBLE, 6) AS conf,
+       row_number() OVER (PARTITION BY subj, pred
+                          ORDER BY n DESC, obj)::BIGINT AS rnk
+FROM tot
 """
 
     fam_sqls["minhash_bands"] = _minhash_bands_sql()
@@ -2669,6 +2778,52 @@ counts AS (SELECT node, count(*)::BIGINT AS n_triangles
 univ AS (SELECT DISTINCT a AS node FROM E UNION SELECT DISTINCT b FROM E)
 SELECT u.node, coalesce(c.n_triangles, 0)::BIGINT AS n_triangles
 FROM univ u LEFT JOIN counts c ON c.node = u.node
+"""
+
+    # pagerank_mentions: the engine's integer-lattice PageRank is pure
+    # BIGINT sum + truncating integer division, so the oracle unrolls
+    # the same 3 power steps verbatim with `//` — bit-exact, no float
+    # tolerance. base = (15*scale)//(100*n); step = base +
+    # (85*inflow)//100; contrib = pr//degree.
+    _PR_SCALE = 10**12
+    pr_steps = ""
+    prev = "p0"
+    for it in (1, 2, 3):
+        pr_steps += f""",
+c{it} AS (SELECT node AS nb, pr // degree AS c FROM {prev}),
+s{it} AS (SELECT s.node, sum(c.c) AS infl
+          FROM sym s JOIN c{it} c ON c.nb = s.nb GROUP BY s.node),
+p{it} AS (SELECT p.node, p.degree,
+                 ((15::BIGINT * {_PR_SCALE}) // (100::BIGINT * nn.n))
+                 + (85::BIGINT * coalesce(s.infl, 0)) // 100 AS pr
+          FROM p0 p LEFT JOIN s{it} s ON s.node = p.node, nn)"""
+        prev = f"p{it}"
+    fam_sqls["pagerank_mentions"] = f"""{cooccur_nodes},
+E AS (SELECT DISTINCT node_a AS a, node_b AS b FROM pairs),
+sym AS (SELECT a AS node, b AS nb FROM E
+        UNION ALL SELECT b AS node, a AS nb FROM E),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM sym GROUP BY node),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+p0 AS (SELECT d.node, d.degree, ({_PR_SCALE}::BIGINT // nn.n) AS pr
+       FROM deg d, nn){pr_steps}
+SELECT node, degree, pr::BIGINT AS pr_scaled FROM p3
+"""
+
+    # khop_mentions: seeds = edge-incident PER nodes; two dedup'd
+    # frontier expansions; min-hop via one group-by — integer/string
+    # ops only, exact
+    fam_sqls["khop_mentions"] = f"""{cooccur_nodes},
+E AS (SELECT DISTINCT node_a AS a, node_b AS b FROM pairs),
+sym AS (SELECT a AS node, b AS nb FROM E
+        UNION ALL SELECT b AS node, a AS nb FROM E),
+univ AS (SELECT DISTINCT node FROM sym),
+f0 AS (SELECT node FROM univ WHERE node LIKE 'PER:%'),
+h1 AS (SELECT DISTINCT s.nb AS node FROM sym s JOIN f0 f ON f.node = s.node),
+h2 AS (SELECT DISTINCT s.nb AS node FROM sym s JOIN h1 f ON f.node = s.node),
+lv AS (SELECT node, 0 AS hop FROM f0
+       UNION ALL SELECT node, 1 FROM h1
+       UNION ALL SELECT node, 2 FROM h2)
+SELECT node, min(hop)::BIGINT AS hop FROM lv GROUP BY node
 """
 
     # stratified_sample: the keep predicate is the verbatim shared

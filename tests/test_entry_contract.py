@@ -99,6 +99,7 @@ DOC_QUERIES = [
     # r7 debuts — all documents-only
     "near_dup_keep_longest", "neardup_degrees", "mention_cooccurrence",
     "cooccur_triangles", "stratified_sample",
+    "pagerank_mentions", "khop_mentions", "triple_confidence",
 ]
 
 

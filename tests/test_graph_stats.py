@@ -219,3 +219,154 @@ def test_near_dup_keep_best_prefers_quality_then_min_id(spark):
     )
     assert all(v == 1 for v in per_cluster.values())
     assert set(per_cluster) == {r["cluster_id"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# pagerank_integer
+# ---------------------------------------------------------------------------
+def _pr_int_replica(edges, iters=3, scale=10**12, num=85, den=100):
+    """Row-sequential integer-lattice PageRank — the exact arithmetic
+    contract (truncating integer division everywhere)."""
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    n = len(nbrs)
+    pr = {u: scale // n for u in nbrs}
+    base = ((den - num) * scale) // (den * n)
+    for _ in range(iters):
+        pr = {
+            v: base
+            + (num * sum(pr[u] // len(nbrs[u]) for u in nbrs[v])) // den
+            for v in nbrs
+        }
+    return pr
+
+
+def test_pagerank_integer_matches_sequential_replica_exactly(spark):
+    from zh_ner_tf_spark.operators.graph_stats import pagerank_integer
+
+    # path + triangle + a duplicate/reversed listing and a self-loop
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "b"), ("b", "d"),
+             ("d", "c"), ("e", "e"), ("d", "a")]
+    pairs = _pairs(spark, edges)
+    got = {
+        r["node"]: (r["degree"], r["pr_scaled"])
+        for r in pagerank_integer(pairs).collect()
+    }
+    want = _pr_int_replica(edges)
+    assert set(got) == set(want)          # e (self-loop only) excluded
+    for node, pr in want.items():
+        assert got[node][1] == pr, node   # BIT-exact, no tolerance
+
+
+def test_pagerank_integer_partition_invariant_and_hub_ranked(spark):
+    from zh_ner_tf_spark.operators.graph_stats import pagerank_integer
+
+    # star: hub h with 6 leaves + one leaf-leaf edge
+    edges = [("h", f"l{i}") for i in range(6)] + [("l0", "l1")]
+    pairs = _pairs(spark, edges)
+    one = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_integer(pairs.coalesce(1)).collect()
+    }
+    many = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_integer(pairs.repartition(7)).collect()
+    }
+    assert one == many                     # exact at any parallelism
+    assert max(one, key=one.get) == "h"    # hub dominates
+    # total mass stays within iterations*n truncation loss of scale
+    assert abs(sum(one.values()) - 10**12) < 4 * len(one) * 110
+
+
+def test_pagerank_integer_close_to_float_pagerank(spark):
+    from zh_ner_tf_spark.operators.graph_stats import pagerank_integer
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    pairs = _pairs(spark, edges)
+    got = {
+        r["node"]: r["pr_scaled"] / 1e12
+        for r in pagerank_integer(pairs).collect()
+    }
+    # float replica of the same 3 unrolled steps
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    n = len(nbrs)
+    pr = {u: 1.0 / n for u in nbrs}
+    for _ in range(3):
+        pr = {
+            v: 0.15 / n
+            + 0.85 * sum(pr[u] / len(nbrs[u]) for u in nbrs[v])
+            for v in nbrs
+        }
+    for node in pr:
+        assert abs(got[node] - pr[node]) < 1e-9   # lattice quantization only
+
+
+# ---------------------------------------------------------------------------
+# khop_neighborhood
+# ---------------------------------------------------------------------------
+def test_khop_min_hop_labels(spark):
+    from zh_ner_tf_spark.operators.graph_stats import khop_neighborhood
+
+    # a-b-c-d path plus shortcut a-c: c is hop 1, not 2; d enters at 2
+    pairs = _pairs(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["hop"]
+        for r in khop_neighborhood(pairs, seeds, k=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_khop_seed_stays_hop_zero_and_k1_bounds(spark):
+    from zh_ner_tf_spark.operators.graph_stats import khop_neighborhood
+
+    # seed b is also a's neighbor — must stay hop 0; k=1 excludes d
+    pairs = _pairs(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",), ("b",)], "node string")
+    got = {
+        r["node"]: r["hop"]
+        for r in khop_neighborhood(pairs, seeds, k=1).collect()
+    }
+    assert got == {"a": 0, "b": 0, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# triple_confidence
+# ---------------------------------------------------------------------------
+def test_triple_confidence_support_and_rank(spark):
+    from zh_ner_tf_spark.operators.triples import triple_confidence
+
+    rows = (
+        [("s1", "p", "o1")] * 3
+        + [("s1", "p", "o2")]
+        + [("s2", "q", "o3")]
+    )
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["n"], r["sp_total"], r["conf"], r["rnk"]
+        )
+        for r in triple_confidence(df).collect()
+    }
+    assert got[("s1", "p", "o1")] == (3, 4, 0.75, 1)
+    assert got[("s1", "p", "o2")] == (1, 4, 0.25, 2)
+    assert got[("s2", "q", "o3")] == (1, 1, 1.0, 1)
+
+
+def test_triple_confidence_rank_ties_break_on_obj(spark):
+    from zh_ner_tf_spark.operators.triples import triple_confidence
+
+    rows = [("s", "p", "ob"), ("s", "p", "oa")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r["obj"]: r["rnk"] for r in triple_confidence(df).collect()}
+    assert got == {"oa": 1, "ob": 2}

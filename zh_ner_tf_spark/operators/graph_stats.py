@@ -1,5 +1,6 @@
 """Graph analytics over constructed graphs — co-occurrence edge
-construction, degree tables, and triangle counting.
+construction, degree tables, triangle counting, integer-lattice
+PageRank, and k-hop neighborhood extraction.
 
 The KG-construction pipeline materializes two graph families this
 module analyzes: the MinHash-LSH near-dup candidate graph over
@@ -24,6 +25,20 @@ Scale shapes (the part that matters at 10^12 docs):
   vertex generate degree^2 wedge candidates. The triangle SET is
   orientation-invariant, which is what makes the operator exactly
   oracle-checkable against a plain ordered three-way SQL join.
+- ``pagerank_integer`` is the standard join/aggregate PageRank (one
+  hash shuffle on the destination key per iteration, map-side
+  combinable sums) but carried on an INTEGER lattice: scores are
+  BIGINT multiples of 1/scale and every step is integer `div`, so the
+  result is bit-exact at any parallelism and on any engine — no
+  float-summation-order nondeterminism to tolerance away. Iterations
+  are unrolled (a handful suffices for the ranking use downstream),
+  and the symmetrized edge list + degree table are localCheckpointed
+  once and reused by every iteration.
+- ``khop_neighborhood`` expands a seed frontier one hop at a time,
+  DEDUPLICATING the frontier between hops — at web scale a hub
+  reached by 10^6 paths must enter the next expansion once, not 10^6
+  times. min-hop labels come from a final groupBy over the per-hop
+  frontier unions.
 
 All arithmetic is integer/string comparisons in JVM expressions — no
 UDFs, no floats — so every output here is exact across engines.
@@ -181,3 +196,138 @@ def triangle_counts(
             "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
         )
     )
+
+
+def _sym_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical symmetrized neighbor list ``(node, nb)`` — each
+    undirected edge once in each direction, self-loops and duplicate
+    listings dropped."""
+    return (
+        pairs.select(F.col(src).alias("node"), F.col(dst).alias("nb"))
+        .union(pairs.select(F.col(dst).alias("node"), F.col(src).alias("nb")))
+        .filter(F.col("node") != F.col("nb"))
+        .distinct()
+    )
+
+
+def pagerank_integer(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over an undirected edge-pair DataFrame on an integer
+    lattice -> ``(node, degree, pr_scaled)`` where ``pr_scaled`` is the
+    score in units of 1/``scale`` after ``iterations`` unrolled power
+    steps with damping ``damping_num/damping_den``.
+
+    Exactness by design: scores start at ``scale div n`` and every
+    update is ``base + (damping_num * inflow) div damping_den`` with
+    ``inflow = sum(pr div degree)`` over neighbors — BIGINT sums and
+    truncating integer division only, so the result is identical at
+    any partition count and reproducible verbatim in ANSI SQL
+    (``//``). The quantization error vs real-valued PageRank is
+    < iterations/scale per node — irrelevant for the entity-importance
+    ranking this feeds, and worth buying bit-exact determinism.
+
+    Scale shape: each iteration is one hash equi-join of the neighbor
+    list against the C(=node-count)-row score table plus one
+    map-side-combinable sum shuffle on the destination key — the same
+    per-iteration cost as connected components, with the iteration
+    count FIXED (not data-dependent). The symmetrized edge list and
+    degree table are localCheckpointed once: every iteration reuses
+    the materialized m-row list instead of re-running the caller's
+    upstream (span extraction + co-occurrence aggregation) per step.
+    Nodes here always have degree >= 1 (edge-incident universe), so
+    there is no dangling-mass term.
+    """
+    sym = _sym_edges(pairs, src, dst).localCheckpoint()
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    # 1-row scalar aggregate, broadcast-joined — never a driver collect
+    n = deg.agg(F.count(F.lit(1)).alias("_n"))
+    state = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            "node",
+            "degree",
+            F.expr(f"CAST({scale} AS BIGINT) div _n").alias("pr"),
+            F.col("_n"),
+        )
+        .localCheckpoint()
+    )
+    base_expr = (
+        f"(CAST({damping_den - damping_num} AS BIGINT) * {scale}) "
+        f"div (CAST({damping_den} AS BIGINT) * _n)"
+    )
+    for _ in range(iterations):
+        contrib = state.select(
+            F.col("node").alias("nb"), F.expr("pr div degree").alias("_c")
+        )
+        inflow = (
+            sym.join(contrib, "nb")
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_inflow"))
+        )
+        state = (
+            state.join(inflow, "node", "left")
+            .select(
+                "node",
+                "degree",
+                F.expr(
+                    f"({base_expr}) + (CAST({damping_num} AS BIGINT) * "
+                    f"coalesce(_inflow, CAST(0 AS BIGINT))) div "
+                    f"CAST({damping_den} AS BIGINT)"
+                ).alias("pr"),
+                "_n",
+            )
+            # each iteration references the previous state twice (the
+            # contrib projection + the join); materialize per step so
+            # the lineage stays one-iteration deep instead of
+            # re-executing the whole unrolled chain per reference
+            .localCheckpoint()
+        )
+    return state.select(
+        "node", "degree", F.col("pr").alias("pr_scaled")
+    )
+
+
+def khop_neighborhood(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum-hop BFS labels from a seed set over an undirected
+    edge-pair DataFrame -> ``(node, hop)`` for every node within ``k``
+    hops of any seed (seeds themselves at hop 0).
+
+    ``seeds`` is a one-column DataFrame named ``node``. The frontier
+    is DEDUPLICATED between hops — the expansion joins a distinct
+    frontier against the neighbor list, so a hub reachable by many
+    paths is expanded once per hop, never once per path; per-hop cost
+    is one equi-join + one distinct shuffle, bounded by the reached
+    subgraph, not by path multiplicity. min-hop resolution is a single
+    final groupBy (a node reached at hops 1 and 2 reports 1).
+
+    This is the subgraph-extraction primitive KG consumers use to cut
+    an entity's context neighborhood out of the full graph before
+    expensive per-subgraph work (embedding, summarization)."""
+    sym = _sym_edges(pairs, src, dst).localCheckpoint()
+    frontier = seeds.select("node").distinct()
+    layers = [frontier.withColumn("hop", F.lit(0).cast("bigint"))]
+    for hop in range(1, k + 1):
+        frontier = (
+            sym.join(frontier, "node")
+            .select(F.col("nb").alias("node"))
+            .distinct()
+            .localCheckpoint()  # next hop + the union both reference it
+        )
+        layers.append(frontier.withColumn("hop", F.lit(hop).cast("bigint")))
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.union(layer)
+    return out.groupBy("node").agg(F.min("hop").alias("hop"))

@@ -159,3 +159,44 @@ def triple_prf(got: DataFrame, golden: DataFrame, keys: list[str]) -> dict[str, 
     p = n_match / n_got if n_got else 0.0
     r = n_match / n_gold if n_gold else 0.0
     return {"precision": p, "recall": r, "got": n_got, "gold": n_gold, "matched": n_match}
+
+
+def triple_confidence(triples: DataFrame) -> DataFrame:
+    """Corpus-level support/confidence scoring over extracted triples
+    -> ``(subj, pred, obj, n, sp_total, conf, rnk)``.
+
+    ``n`` = number of extractions of the exact (subj, pred, obj);
+    ``sp_total`` = total extractions sharing (subj, pred); ``conf`` =
+    ``round(n / sp_total, 6)`` — the relative support of this object
+    among everything the corpus asserts for that subject-predicate
+    slot; ``rnk`` ranks objects within the slot by (support desc, obj)
+    — a total order, so ranks are deterministic.
+
+    This is the canonical KG-construction noise filter: pattern
+    extractors over web text emit contradictory objects for the same
+    slot, and downstream assertion selection keeps rank 1 (or
+    conf >= threshold). Two shuffles total: one count aggregation on
+    the full triple key, then a window over the (subj, pred) slot —
+    the aggregated table is |distinct triples|, far below extraction
+    multiplicity, so the window input is already compacted. ``conf``
+    is a single int/int IEEE division (exact, order-independent) —
+    deterministic across engines, unlike a float sum.
+    """
+    from pyspark.sql import Window
+
+    agg = triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    slot = Window.partitionBy("subj", "pred")
+    order = Window.partitionBy("subj", "pred").orderBy(
+        F.col("n").desc(), F.col("obj")
+    )
+    return agg.select(
+        "subj",
+        "pred",
+        "obj",
+        "n",
+        F.sum("n").over(slot).alias("sp_total"),
+        F.round(F.col("n") / F.sum("n").over(slot), 6).alias("conf"),
+        F.row_number().over(order).cast("bigint").alias("rnk"),
+    )
