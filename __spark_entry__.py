@@ -492,11 +492,13 @@ def q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assertion-selection scoring over the extracted triples (r7
     debut): per distinct (subj, pred, obj), extraction support ``n``,
     slot total ``sp_total`` over (subj, pred), relative confidence
-    ``conf = round(n / sp_total, 6)`` and a deterministic within-slot
-    rank (support desc, obj) — the noise filter that picks which of
-    several contradictory web-extracted objects a KG keeps for a slot.
-    conf is one int/int IEEE division (exact, order-independent), so
-    the oracle matches it bit-for-bit."""
+    ``conf_ppm = (1e6 * n) div sp_total`` and a deterministic
+    within-slot rank (support desc, obj) — the noise filter that picks
+    which of several contradictory web-extracted objects a KG keeps
+    for a slot. conf_ppm is truncating BIGINT division (decimal
+    ROUNDING of the quotient would diverge between engines on
+    near-halfway values; the integer lattice cannot), so the oracle
+    matches bit-for-bit."""
     from zh_ner_tf_spark.operators.triples import triple_confidence
 
     return triple_confidence(
@@ -505,7 +507,7 @@ def q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subj", "pred", "obj",
         F.col("n").cast("bigint"),
         F.col("sp_total").cast("bigint"),
-        "conf",
+        "conf_ppm",
         "rnk",
     )
 
@@ -2627,15 +2629,17 @@ FROM trip
 """
 
     # triple_confidence: slot totals + rank via windows over the
-    # aggregated (subj, pred, obj) support counts; conf is one
-    # int/int IEEE division — exact in both engines
+    # aggregated (subj, pred, obj) support counts; conf_ppm is
+    # truncating BIGINT division — exact in both engines (decimal
+    # rounding of the quotient would NOT be: Spark HALF_UP vs DuckDB
+    # float-round diverge on near-halfway values like 41/640)
     fam_sqls["triple_confidence"] = f"""{triples_chain},
 agg AS (SELECT subj, pred, obj, count(*)::BIGINT AS n
         FROM trip GROUP BY subj, pred, obj),
 tot AS (SELECT *, sum(n) OVER (PARTITION BY subj, pred) AS sp_total
         FROM agg)
 SELECT subj, pred, obj, n, sp_total::BIGINT AS sp_total,
-       round(n::DOUBLE / sp_total::DOUBLE, 6) AS conf,
+       ((1000000::BIGINT * n) // sp_total)::BIGINT AS conf_ppm,
        row_number() OVER (PARTITION BY subj, pred
                           ORDER BY n DESC, obj)::BIGINT AS rnk
 FROM tot

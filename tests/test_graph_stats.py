@@ -354,13 +354,13 @@ def test_triple_confidence_support_and_rank(spark):
     df = spark.createDataFrame(rows, "subj string, pred string, obj string")
     got = {
         (r["subj"], r["pred"], r["obj"]): (
-            r["n"], r["sp_total"], r["conf"], r["rnk"]
+            r["n"], r["sp_total"], r["conf_ppm"], r["rnk"]
         )
         for r in triple_confidence(df).collect()
     }
-    assert got[("s1", "p", "o1")] == (3, 4, 0.75, 1)
-    assert got[("s1", "p", "o2")] == (1, 4, 0.25, 2)
-    assert got[("s2", "q", "o3")] == (1, 1, 1.0, 1)
+    assert got[("s1", "p", "o1")] == (3, 4, 750000, 1)
+    assert got[("s1", "p", "o2")] == (1, 4, 250000, 2)
+    assert got[("s2", "q", "o3")] == (1, 1, 1000000, 1)
 
 
 def test_triple_confidence_rank_ties_break_on_obj(spark):

@@ -34,11 +34,12 @@ Scale shapes (the part that matters at 10^12 docs):
   are unrolled (a handful suffices for the ranking use downstream),
   and the symmetrized edge list + degree table are localCheckpointed
   once and reused by every iteration.
-- ``khop_neighborhood`` expands a seed frontier one hop at a time,
-  DEDUPLICATING the frontier between hops — at web scale a hub
-  reached by 10^6 paths must enter the next expansion once, not 10^6
-  times. min-hop labels come from a final groupBy over the per-hop
-  frontier unions.
+- ``khop_neighborhood`` expands a seed frontier one hop at a time
+  with the standard BFS discipline: the frontier is DEDUPLICATED (a
+  hub reached by 10^6 paths enters the next expansion once, not 10^6
+  times) and already-visited nodes are ANTI-JOINED out (earlier
+  layers never re-expand). min-hop labels come from a final groupBy
+  over the per-hop frontier unions.
 
 All arithmetic is integer/string comparisons in JVM expressions — no
 UDFs, no floats — so every output here is exact across engines.
@@ -96,13 +97,11 @@ def degree_table(
     neighbor. With ``nodes`` (a one-column DataFrame named ``node``),
     the output covers that node universe with degree 0 for isolated
     nodes — the stable-row-set form a downstream join wants."""
-    sym = (
-        pairs.select(F.col(src).alias("node"), F.col(dst).alias("_nb"))
-        .union(pairs.select(F.col(dst).alias("node"), F.col(src).alias("_nb")))
-        .filter(F.col("node") != F.col("_nb"))
-        .distinct()
+    deg = (
+        _sym_edges(pairs, src, dst)
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     if nodes is None:
         return deg
     return (
@@ -229,9 +228,13 @@ def pagerank_integer(
     ``inflow = sum(pr div degree)`` over neighbors — BIGINT sums and
     truncating integer division only, so the result is identical at
     any partition count and reproducible verbatim in ANSI SQL
-    (``//``). The quantization error vs real-valued PageRank is
-    < iterations/scale per node — irrelevant for the entity-importance
-    ranking this feeds, and worth buying bit-exact determinism.
+    (``//``). Quantization error vs real-valued PageRank: each
+    neighbor contribution truncates up to one lattice unit, so one
+    step can lose ~``damping * deg(v) / scale`` at node v and the
+    total drift is O(iterations * max_degree / scale) — at scale=1e12
+    that is < 1e-5 even for a 10^6-degree hub, irrelevant for the
+    entity-importance ranking this feeds and worth buying bit-exact
+    determinism.
 
     Scale shape: each iteration is one hash equi-join of the neighbor
     list against the C(=node-count)-row score table plus one
@@ -306,26 +309,34 @@ def khop_neighborhood(
     hops of any seed (seeds themselves at hop 0).
 
     ``seeds`` is a one-column DataFrame named ``node``. The frontier
-    is DEDUPLICATED between hops — the expansion joins a distinct
-    frontier against the neighbor list, so a hub reachable by many
-    paths is expanded once per hop, never once per path; per-hop cost
-    is one equi-join + one distinct shuffle, bounded by the reached
-    subgraph, not by path multiplicity. min-hop resolution is a single
-    final groupBy (a node reached at hops 1 and 2 reports 1).
+    follows the standard BFS discipline: DEDUPLICATED between hops (a
+    hub reachable by many paths is expanded once per hop, never once
+    per path) AND already-visited nodes are anti-joined out before the
+    next expansion — without that, every hop re-expands the nodes
+    labeled at earlier hops (each seed re-enters via back-edges) and
+    the join volume grows ~k-fold on dense graphs. Per-hop cost is one
+    equi-join + one distinct + one anti-join, bounded by the NEW
+    frontier, not by path multiplicity or the accumulated reach.
+    min-hop labels fall out directly: a node enters exactly one layer,
+    the first hop that reaches it (the final groupBy is a union-dedup
+    formality).
 
     This is the subgraph-extraction primitive KG consumers use to cut
     an entity's context neighborhood out of the full graph before
     expensive per-subgraph work (embedding, summarization)."""
     sym = _sym_edges(pairs, src, dst).localCheckpoint()
-    frontier = seeds.select("node").distinct()
+    frontier = seeds.select("node").distinct().localCheckpoint()
+    visited = frontier
     layers = [frontier.withColumn("hop", F.lit(0).cast("bigint"))]
     for hop in range(1, k + 1):
         frontier = (
             sym.join(frontier, "node")
             .select(F.col("nb").alias("node"))
             .distinct()
-            .localCheckpoint()  # next hop + the union both reference it
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()  # next hop + union + visited all reference it
         )
+        visited = visited.union(frontier)
         layers.append(frontier.withColumn("hop", F.lit(hop).cast("bigint")))
     out = layers[0]
     for layer in layers[1:]:

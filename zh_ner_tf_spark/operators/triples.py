@@ -163,24 +163,31 @@ def triple_prf(got: DataFrame, golden: DataFrame, keys: list[str]) -> dict[str, 
 
 def triple_confidence(triples: DataFrame) -> DataFrame:
     """Corpus-level support/confidence scoring over extracted triples
-    -> ``(subj, pred, obj, n, sp_total, conf, rnk)``.
+    -> ``(subj, pred, obj, n, sp_total, conf_ppm, rnk)``.
 
     ``n`` = number of extractions of the exact (subj, pred, obj);
-    ``sp_total`` = total extractions sharing (subj, pred); ``conf`` =
-    ``round(n / sp_total, 6)`` — the relative support of this object
-    among everything the corpus asserts for that subject-predicate
-    slot; ``rnk`` ranks objects within the slot by (support desc, obj)
-    — a total order, so ranks are deterministic.
+    ``sp_total`` = total extractions sharing (subj, pred);
+    ``conf_ppm`` = ``(1_000_000 * n) div sp_total`` — the relative
+    support of this object among everything the corpus asserts for
+    that subject-predicate slot, in parts per million; ``rnk`` ranks
+    objects within the slot by (support desc, obj) — a total order, so
+    ranks are deterministic.
 
     This is the canonical KG-construction noise filter: pattern
     extractors over web text emit contradictory objects for the same
     slot, and downstream assertion selection keeps rank 1 (or
-    conf >= threshold). Two shuffles total: one count aggregation on
-    the full triple key, then a window over the (subj, pred) slot —
+    conf_ppm >= threshold). Two shuffles total: one count aggregation
+    on the full triple key, then a window over the (subj, pred) slot —
     the aggregated table is |distinct triples|, far below extraction
-    multiplicity, so the window input is already compacted. ``conf``
-    is a single int/int IEEE division (exact, order-independent) —
-    deterministic across engines, unlike a float sum.
+    multiplicity, so the window input is already compacted.
+
+    Why ppm and not ``round(n/sp_total, 6)``: the raw IEEE quotient is
+    identical across engines, but decimal ROUNDING of it is not —
+    Spark rounds the decimal expansion HALF_UP while DuckDB rounds the
+    float, and near-halfway quotients (e.g. 41/640 = 0.0640625)
+    genuinely diverge. Truncating integer division on a BIGINT lattice
+    is exact everywhere — the same determinism-by-design choice as
+    pagerank_integer.
     """
     from pyspark.sql import Window
 
@@ -191,12 +198,18 @@ def triple_confidence(triples: DataFrame) -> DataFrame:
     order = Window.partitionBy("subj", "pred").orderBy(
         F.col("n").desc(), F.col("obj")
     )
-    return agg.select(
-        "subj",
-        "pred",
-        "obj",
-        "n",
-        F.sum("n").over(slot).alias("sp_total"),
-        F.round(F.col("n") / F.sum("n").over(slot), 6).alias("conf"),
-        F.row_number().over(order).cast("bigint").alias("rnk"),
+    return (
+        agg.select(
+            "subj",
+            "pred",
+            "obj",
+            "n",
+            F.sum("n").over(slot).alias("sp_total"),
+            F.row_number().over(order).cast("bigint").alias("rnk"),
+        )
+        .withColumn(
+            "conf_ppm",
+            F.expr("(CAST(1000000 AS BIGINT) * n) div sp_total"),
+        )
+        .select("subj", "pred", "obj", "n", "sp_total", "conf_ppm", "rnk")
     )
