@@ -526,7 +526,8 @@ def graph_ops_timing(spark, sf_dir: str) -> dict:
     qs = entry.queries()
     out: dict = {}
     for name in ("stratified_sample", "near_dup_keep_longest",
-                 "cooccur_triangles"):
+                 "cooccur_triangles", "pagerank_mentions",
+                 "khop_mentions", "triple_confidence"):
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -370,3 +370,25 @@ def test_triple_confidence_rank_ties_break_on_obj(spark):
     df = spark.createDataFrame(rows, "subj string, pred string, obj string")
     got = {r["obj"]: r["rnk"] for r in triple_confidence(df).collect()}
     assert got == {"oa": 1, "ob": 2}
+
+
+def test_triple_confidence_ppm_exact_on_rounding_adversarial_quotient(spark):
+    """41/640 = 0.0640625 is a near-halfway quotient where Spark's
+    HALF_UP decimal round(x, 6) and DuckDB's float round() genuinely
+    diverge (0.064063 vs 0.064062) — the case that forced conf off
+    round(n/sp_total, 6) onto the ppm integer lattice. Pin that both
+    engines agree bit-for-bit on exactly this quotient."""
+    import duckdb
+    from zh_ner_tf_spark.operators.triples import triple_confidence
+
+    rows = [("s", "p", "hot")] * 41 + [("s", "p", "rest")] * 599
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        r["obj"]: (r["n"], r["sp_total"], r["conf_ppm"])
+        for r in triple_confidence(df).collect()
+    }
+    assert got["hot"] == (41, 640, 64062)  # trunc(0.0640625 * 1e6)
+    want = duckdb.connect().execute(
+        "SELECT ((1000000::BIGINT * 41) // 640)::BIGINT"
+    ).fetchone()[0]
+    assert got["hot"][2] == want
