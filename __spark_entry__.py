@@ -889,6 +889,58 @@ def q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking (r7 debut): the north_star stage between NER and
+    canonicalization. Canonical entities are the distinct adjacent-token
+    bigram surfaces of the corpus ("new york"); mentions are their
+    space-stripped concatenations ("newyork" — the classic run-together
+    variant a crawler emits). link_mentions resolves each mention by a
+    char-bigram posting-list join (never all-pairs), with hot grams
+    (entity-side df > 150 — the space-adjacent grams that almost every
+    two-word name shares) pruned from both sides, ppm-lattice Jaccard
+    scoring (BIGINT div — bit-exact across engines), and a
+    deterministic max(struct) argmax; score >= 300000 links, below
+    drops. Every step is integer-or-string-exact, so the full operator
+    is oracle-checkable value-for-value."""
+    from zh_ner_tf_spark.functions.hashing import poly_hash
+    from zh_ner_tf_spark.operators.linking import link_mentions
+
+    toks = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # link_mentions traverses its inputs more than once (mentions 2x,
+    # entities 3x) — checkpoint the tokenize->window derivation so the
+    # corpus scan runs once (graph_stats precedent).
+    pairs = (
+        toks.withColumn("_nxt", F.lead("token").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.concat_ws(" ", "token", "_nxt").alias("name"),
+            F.concat("token", "_nxt").alias("surface"),
+        )
+        .localCheckpoint()
+    )
+    entities = pairs.select("name").distinct().select(
+        poly_hash(F.col("name")).alias("entity_id"), "name"
+    )
+    mentions = pairs.select("surface").distinct()
+    linked = link_mentions(
+        mentions,
+        entities,
+        mention_col="surface",
+        k=2,
+        max_gram_df=150,
+        min_score_ppm=300_000,
+    )
+    return linked.select(
+        poly_hash(F.col("surface")).alias("mention_id"),
+        "surface",
+        "entity_id",
+        "name",
+        "score_ppm",
+        F.col("shared").cast("bigint").alias("shared"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.operators.dedup import exact_dup_groups
 
@@ -1735,7 +1787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       1. a NEW query DEBUTS inside the 50-row window (r7 debuts:
          ann_int8_rescore, near_dup_keep_longest, neardup_degrees,
          mention_cooccurrence, cooccur_triangles, stratified_sample,
-         pagerank_mentions, khop_mentions, triple_confidence;
+         pagerank_mentions, khop_mentions, triple_confidence,
+         entity_link;
          the four r6 debuts stay in-window for a second consecutive
          driver check, the r5-debut precedent);
       2. a rotated-out entry returns within ONE round. r7 RETURNS all
@@ -1746,8 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          the schedule r6 wrote). Rotated out THIS round, due back in
          r8: the nine relational queries (driver-green r1-r4 and r6;
          relational family reps stay via the returning trivial queries
-         + topk/sessionize/rollup cousins asof_events_orders,
-         sessionize_events, approx_quantiles_orders) plus ten
+         + the topk/asof cousin asof_events_orders) plus ten
          multi-round-green rows whose operator family keeps an
          in-window representative (argmax_decode — ner_tagger_mentions/
          token_accuracy/train_descent stay; ngram_jaccard_adjacent and
@@ -1762,7 +1814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          quality_features — lang_id/token_counts-family rep stays via
          lang_id; winnow_fingerprint — dedup_exact/minhash_bands/
          lsh_doc_pairs/near_dup_clusters stay; sessionize_events —
-         asof_events_orders/running_window stay).
+         asof_events_orders/running_window stay; and, to make room for
+         the entity_link debut: approx_quantiles_orders — approx-family
+         rep stays via approx_distinct_documents).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1781,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_mentions": q_pagerank_mentions,
         "khop_mentions": q_khop_mentions,
         "triple_confidence": q_triple_confidence,
+        "entity_link": q_entity_link,
         # --- r6 debuts, kept for a second consecutive driver check ---
         "ivf_codebook_quality": q_ivf_codebook_quality,
         "cc_delta": q_cc_delta,
@@ -1801,7 +1856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_documents": q_approx_distinct_documents,
         "embedding_topk": q_embedding_topk,
         # --- standing coverage ---
-        "approx_quantiles_orders": q_approx_quantiles_orders,
         "stream_dedup_totals": q_stream_dedup_totals,
         "salted_join_events": q_salted_join_events,
         "train_descent": q_train_descent,
@@ -1828,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside the window in r8 (invariant 2); ALL are gated locally
         # every round by tests/test_entry_contract.py ---
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "approx_quantiles_orders": q_approx_quantiles_orders,
         "broadcast_join_dims": q_broadcast_join_dims,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "cube_lineitem": q_cube_lineitem,
@@ -2851,6 +2906,53 @@ FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 """
 
     fam_sqls["entity_blocking"] = _entity_blocking_sql()
+
+    # entity_link: exact replica of linking.link_mentions — distinct
+    # char-bigram poly hashes per side, entity-side df > 150 bans a gram
+    # from BOTH sides, ppm-lattice Jaccard (BIGINT //), argmax per
+    # surface with (score DESC, entity_id ASC, name DESC) = Spark's
+    # max(struct(score, -eid, name)).
+    fam_sqls["entity_link"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+prs AS (
+  SELECT a.token || ' ' || b.token AS name, a.token || b.token AS surface
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+ent AS (SELECT {_poly_sql('name')} AS entity_id, name
+        FROM (SELECT DISTINCT name FROM prs)),
+men AS (SELECT DISTINCT surface FROM prs),
+eg AS (SELECT entity_id, name,
+         unnest(list_distinct([{_poly_sql("substring(name, i, 2)")}
+           for i in generate_series(1, greatest(length(name) - 1, 1))])) AS g
+       FROM ent),
+mg AS (SELECT surface,
+         unnest(list_distinct([{_poly_sql("substring(surface, i, 2)")}
+           for i in generate_series(1, greatest(length(surface) - 1, 1))])) AS g
+       FROM men),
+banned AS (SELECT g FROM (SELECT g, count(*) AS c FROM eg GROUP BY g)
+           WHERE c > 150),
+egp AS (SELECT eg.* FROM eg ANTI JOIN banned USING (g)),
+mgp AS (SELECT mg.* FROM mg ANTI JOIN banned USING (g)),
+ne AS (SELECT entity_id, name, count(*) AS n_e FROM egp
+       GROUP BY entity_id, name),
+nm AS (SELECT surface, count(*) AS n_m FROM mgp GROUP BY surface),
+cand AS (SELECT surface, entity_id, name, count(*)::BIGINT AS shared
+         FROM mgp JOIN egp USING (g) GROUP BY surface, entity_id, name),
+scored AS (
+  SELECT c.surface, c.entity_id, c.name, c.shared,
+         ((1000000::BIGINT * c.shared) //
+          (nm.n_m + ne.n_e - c.shared))::BIGINT AS score_ppm
+  FROM cand c JOIN nm USING (surface) JOIN ne USING (entity_id, name)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY surface
+    ORDER BY score_ppm DESC, entity_id ASC, name DESC) AS rn
+  FROM scored WHERE score_ppm >= 300000
+)
+SELECT {_poly_sql('surface')} AS mention_id, surface, entity_id, name,
+       score_ppm, shared
+FROM best WHERE rn = 1
+"""
 
     fam_sqls["cc_long_path"] = """
 SELECT o_orderkey::BIGINT AS node,

@@ -527,7 +527,7 @@ def graph_ops_timing(spark, sf_dir: str) -> dict:
     out: dict = {}
     for name in ("stratified_sample", "near_dup_keep_longest",
                  "cooccur_triangles", "pagerank_mentions",
-                 "khop_mentions", "triple_confidence"):
+                 "khop_mentions", "triple_confidence", "entity_link"):
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -1,0 +1,163 @@
+"""Entity linking: mention surface -> best canonical entity.
+
+The north_star pipeline [B BASELINE.json: "triple extraction, entity
+linking, canonicalization"] needs a linking stage between NER mentions
+and the canonical entity table that blocking + connected components
+produce (blocking.py / pipeline.py). This operator resolves each
+mention surface to its best-scoring canonical entity:
+
+  candidate generation   inverted-index (posting-list) join on char
+                         k-gram hashes -- never all-pairs; the classic
+                         sharded-KB linking shape
+  hot-gram pruning       entity-side document frequency > ``max_gram_df``
+                         bans a gram ("stopword gram") from BOTH sides,
+                         capping every posting list the join can fan out
+                         over; Jaccard stays exact over the pruned space
+  scoring                k-gram Jaccard on the ppm integer lattice
+                         (BIGINT ``div`` -- bit-exact across engines and
+                         parallelism; the triples.py conf_ppm pattern)
+  link decision          one map-side-combinable max(struct) per
+                         mention, no window sort; ties break on smaller
+                         entity_id, then larger name (documented, exact)
+
+Scale notes (100 TB): the mention side is corpus-sized; the entity side
+is KB-sized. The gram-df census and banned set derive from the ENTITY
+side only, so they are small and broadcast into both anti-joins. With
+``broadcast_entities=True`` (the KB-fits-in-memory case) the posting
+join itself is a BroadcastHashJoin -- the corpus side never shuffles for
+candidate generation; its only shuffles are the two map-side-combinable
+count aggregations (per-mention gram count, per-pair shared count). For
+KBs too large to broadcast, the join shuffles on the gram key, where
+``max_gram_df`` bounds the entity rows per key, so no gram can produce
+an unbounded pair explosion; AQE skew-join backstops mention-side hot
+grams at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zh_ner_tf_spark.operators.blocking import shingle_hashes
+
+# Working columns injected (and dropped) by link_mentions. Fail loudly
+# on clash instead of silently clobbering caller data (skew.py pattern).
+_RESERVED = ("_gram", "_n_m", "_n_e", "_shared", "_score_ppm", "_best")
+
+
+def _check_reserved(*frames: DataFrame) -> None:
+    for df in frames:
+        clash = [c for c in df.columns if c in _RESERVED]
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with link_mentions "
+                f"working columns {_RESERVED}; rename them first"
+            )
+
+
+def gram_rows(df: DataFrame, key_cols: list[str], text_col: str, k: int) -> DataFrame:
+    """One row per DISTINCT char-k-gram hash of ``text_col``: (*key_cols,
+    _gram). Strings shorter than k contribute their whole-string hash
+    (shingle_hashes semantics, shared with the MinHash blocking path)."""
+    return df.select(
+        *key_cols,
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("_gram"),
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    entities: DataFrame,
+    mention_col: str = "surface",
+    entity_id_col: str = "entity_id",
+    entity_name_col: str = "name",
+    k: int = 2,
+    max_gram_df: int | None = None,
+    min_score_ppm: int = 0,
+    broadcast_entities: bool = True,
+) -> DataFrame:
+    """Link each distinct mention surface to its best canonical entity.
+
+    mentions: any DataFrame with a ``mention_col`` string column (rows
+    are deduplicated on it -- a surface links once, however often it
+    occurs). entities: (entity_id_col, entity_name_col) canonical table,
+    unique on entity_id. Returns one row per linkable mention:
+
+      (mention_col, entity_id, entity_name, score_ppm, shared)
+
+    score_ppm = (1_000_000 * |G_m ∩ G_e|) div (|G_m ∪ G_e|) over the
+    pruned distinct-gram space; mentions with no candidate scoring >=
+    ``min_score_ppm`` are absent (no-link). Ties break deterministically:
+    max score, then min entity_id, then max entity name (the last leg
+    only matters under a poly-hash id collision).
+
+    Traversal contract: ``mentions`` lineage is executed twice (gram
+    count + posting join) and ``entities`` three times (df census +
+    gram count + posting join) — callers with expensive upstreams
+    should checkpoint/persist the inputs rather than this operator
+    materializing a corpus-sized gram table on their behalf.
+    """
+    _check_reserved(mentions, entities)
+
+    men = mentions.select(mention_col).distinct()
+    mg = gram_rows(men, [mention_col], mention_col, k)
+    eg = gram_rows(entities, [entity_id_col, entity_name_col], entity_name_col, k)
+
+    if max_gram_df is not None:
+        banned = (
+            eg.groupBy("_gram")
+            .agg(F.count("*").alias("_n_e"))
+            .filter(F.col("_n_e") > max_gram_df)
+            .select("_gram")
+        )
+        # entity-side census: tiny by construction (only hot grams) ->
+        # broadcast both anti-joins; neither big side shuffles here.
+        mg = mg.join(F.broadcast(banned), "_gram", "left_anti")
+        eg = eg.join(F.broadcast(banned), "_gram", "left_anti")
+
+    n_m = mg.groupBy(mention_col).agg(F.count("*").alias("_n_m"))
+    n_e = eg.groupBy(entity_id_col, entity_name_col).agg(
+        F.count("*").alias("_n_e")
+    )
+
+    eg_join = F.broadcast(eg) if broadcast_entities else eg
+    shared = (
+        mg.join(eg_join, "_gram")
+        .groupBy(mention_col, entity_id_col, entity_name_col)
+        .agg(F.count("*").alias("_shared"))
+    )
+
+    n_e_join = F.broadcast(n_e) if broadcast_entities else n_e
+    scored = (
+        shared.join(n_e_join, [entity_id_col, entity_name_col])
+        .join(n_m, mention_col)
+        .withColumn(
+            "_score_ppm",
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * _shared) div (_n_m + _n_e - _shared)"
+            ),
+        )
+        .filter(F.col("_score_ppm") >= min_score_ppm)
+    )
+
+    best = (
+        scored.groupBy(mention_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_score_ppm"),
+                    (-F.col(entity_id_col)).alias("_neg_eid"),
+                    F.col(entity_name_col),
+                    F.col("_shared"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            mention_col,
+            (-F.col(f"_best._neg_eid")).alias(entity_id_col),
+            F.col(f"_best.{entity_name_col}").alias(entity_name_col),
+            F.col("_best._score_ppm").alias("score_ppm"),
+            F.col("_best._shared").alias("shared"),
+        )
+    )
+    return best
