@@ -124,3 +124,106 @@ def test_reserved_working_columns_raise(spark):
     men = _mentions(spark, ["ab"]).withColumn("_gram", F.lit(1))
     with pytest.raises(ValueError, match="_gram"):
         link_mentions(men, _entities(spark, [(1, "ab")]))
+
+
+# ---------------------------------------------------------------------------
+# integration: linking consumes the pipeline's canonical entity table
+# ---------------------------------------------------------------------------
+
+_P = 2147483647
+
+
+def _ph(s: str) -> int:
+    a = 0
+    for c in s:
+        a = (a * 31 + ord(c)) % _P
+    return a
+
+
+def _py_grams(s: str, k: int = 2) -> set[int]:
+    subs = [s] if len(s) < k else [s[i:i + k] for i in range(len(s) - k + 1)]
+    return {_ph(x) for x in subs}
+
+
+def _py_link(surfaces, entities, k=2, max_gram_df=None, min_score_ppm=0):
+    """Sequential replica of link_mentions (oracle/numpy_ref philosophy:
+    row-at-a-time, shares no code with the distributed path)."""
+    eg = {(eid, name): _py_grams(name, k) for eid, name in entities}
+    banned: set[int] = set()
+    if max_gram_df is not None:
+        from collections import Counter
+
+        df = Counter(g for gs in eg.values() for g in gs)
+        banned = {g for g, c in df.items() if c > max_gram_df}
+        eg = {key: gs - banned for key, gs in eg.items()}
+    out = []
+    for s in sorted(set(surfaces)):
+        gs = _py_grams(s, k) - banned
+        best, best_key = None, None
+        for (eid, name), egs in eg.items():
+            shared = len(gs & egs)
+            if shared == 0:
+                continue
+            ppm = (1_000_000 * shared) // (len(gs) + len(egs) - shared)
+            if ppm < min_score_ppm:
+                continue
+            key = (ppm, -eid, name)
+            if best_key is None or key > best_key:
+                best_key, best = key, (s, eid, name, ppm, shared)
+        if best is not None:
+            out.append(best)
+    return sorted(out)
+
+
+def test_linking_consumes_pipeline_canonical_entities(spark):
+    """Close the north-rule loop: NER-shaped mentions -> blocking + CC
+    canonicalization (graph_from_mentions) -> canonical reps -> LINK
+    run-together variant surfaces back into the canonical space. The
+    distributed operator must match a sequential pure-Python replica
+    exactly on real pipeline output."""
+    from pyspark.sql import functions as F
+
+    from zh_ner_tf_spark.pipeline import graph_from_mentions
+
+    occurrences = (
+        [("alpha corp", "ORG")] * 5
+        + [("alpha corps", "ORG")] * 2      # near-dup, same CC cluster
+        + [("beta industries", "ORG")] * 4
+        + [("gamma labs", "ORG")] * 3
+        + [("john smith", "PER")] * 4
+        + [("jon smith", "PER")] * 2        # near-dup person
+    )
+    mentions = spark.createDataFrame(occurrences, "mention string, etype string")
+    triples = spark.createDataFrame([], "subj string, pred string, obj string")
+    nodes, _ = graph_from_mentions(mentions, triples)
+
+    # canonical representative per cluster: highest freq, ties to the
+    # lexicographically larger surface (max(struct) — deterministic)
+    reps = (
+        nodes.groupBy("canon_id")
+        .agg(F.max(F.struct("freq", "surface")).alias("_b"))
+        .select(
+            F.col("canon_id").alias("entity_id"),
+            F.col("_b.surface").alias("name"),
+        )
+        .localCheckpoint()
+    )
+    rep_rows = [(r["entity_id"], r["name"]) for r in reps.collect()]
+    assert len(rep_rows) >= 3  # clusters actually formed
+
+    # link the run-together crawl variants of EVERY node surface
+    surf_rows = [r["surface"] for r in nodes.select("surface").collect()]
+    link_surfaces = sorted({s.replace(" ", "") for s in surf_rows})
+    got = link_mentions(
+        _mentions(spark, link_surfaces),
+        reps,
+        min_score_ppm=300_000,
+    ).collect()
+    got_t = sorted(
+        (r["surface"], r["entity_id"], r["name"], r["score_ppm"], r["shared"])
+        for r in got
+    )
+    want = _py_link(link_surfaces, rep_rows, min_score_ppm=300_000)
+    assert got_t == want
+    # and the linking is useful: every variant resolved somewhere
+    assert len(got_t) == len(link_surfaces)
