@@ -1808,7 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          lang_id/quality_features stay; windowed_event_counts,
          range_join_dates and running_user_totals — sessionize_events/
          running_window/asof_events_orders stay; heavy_hitters_status —
-         approx_quantiles_orders/approx_distinct_documents stay;
+         approx_distinct_documents stays;
          salted_agg_events — salted_join_events stays; and, to make
          room for the three late-r7 graph/triple debuts:
          quality_features — lang_id/token_counts-family rep stays via

@@ -181,8 +181,6 @@ def test_linking_consumes_pipeline_canonical_entities(spark):
     run-together variant surfaces back into the canonical space. The
     distributed operator must match a sequential pure-Python replica
     exactly on real pipeline output."""
-    from pyspark.sql import functions as F
-
     from zh_ner_tf_spark.pipeline import graph_from_mentions
 
     occurrences = (
@@ -227,3 +225,15 @@ def test_linking_consumes_pipeline_canonical_entities(spark):
     assert got_t == want
     # and the linking is useful: every variant resolved somewhere
     assert len(got_t) == len(link_surfaces)
+
+
+def test_duplicate_entity_rows_do_not_inflate_scores(spark):
+    """A duplicated KB row must not double its grams through the df
+    census / _n_e / _shared: 'newyork' vs a twice-listed 'new york'
+    still scores 625000, not a silently inflated 1000000."""
+    got = link_mentions(
+        _mentions(spark, ["newyork"]),
+        _entities(spark, [(7, "new york"), (7, "new york")]),
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["score_ppm"], got[0]["shared"]) == (625000, 5)

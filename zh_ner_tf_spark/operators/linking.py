@@ -101,7 +101,11 @@ def link_mentions(
 
     men = mentions.select(mention_col).distinct()
     mg = gram_rows(men, [mention_col], mention_col, k)
-    eg = gram_rows(entities, [entity_id_col, entity_name_col], entity_name_col, k)
+    # dedupe the KB side too: a duplicated entity row would double its
+    # grams through the df census, _n_e and _shared, silently inflating
+    # scores past 1_000_000 — collapse exact duplicates instead.
+    ents = entities.select(entity_id_col, entity_name_col).distinct()
+    eg = gram_rows(ents, [entity_id_col, entity_name_col], entity_name_col, k)
 
     if max_gram_df is not None:
         banned = (
