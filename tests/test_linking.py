@@ -237,3 +237,39 @@ def test_duplicate_entity_rows_do_not_inflate_scores(spark):
     ).collect()
     assert len(got) == 1
     assert (got[0]["score_ppm"], got[0]["shared"]) == (625000, 5)
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_surf = st.text(alphabet="ab ü", min_size=1, max_size=6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    men=st.lists(_surf, min_size=1, max_size=8),
+    ents=st.lists(
+        st.tuples(st.integers(1, 5), _surf), min_size=1, max_size=6
+    ),
+    maxdf=st.one_of(st.none(), st.integers(1, 3)),
+    thr=st.sampled_from([0, 300_000, 700_000]),
+)
+def test_property_link_matches_sequential_replica(spark, men, ents, maxdf, thr):
+    """For ANY surface/KB sets (spaces, repeats, non-ASCII, id
+    collisions with distinct names), any df-pruning threshold and any
+    score floor, the distributed operator equals the sequential
+    replica exactly."""
+    got = link_mentions(
+        _mentions(spark, men),
+        _entities(spark, ents),
+        max_gram_df=maxdf,
+        min_score_ppm=thr,
+    ).collect()
+    got_t = sorted(
+        (r["surface"], r["entity_id"], r["name"], r["score_ppm"], r["shared"])
+        for r in got
+    )
+    want = _py_link(men, ents, max_gram_df=maxdf, min_score_ppm=thr)
+    assert got_t == want
