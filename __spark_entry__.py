@@ -488,6 +488,55 @@ def q_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gold_triples(spark, sf_dir)
 
 
+def q_linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-rule composition in one row (r7 debut): pattern
+    triple extraction -> ENTITY LINKING of both endpoint surfaces ->
+    canonical KG edge table. The KB is the frequent endpoint surfaces
+    (support >= 2 — the canonical forms a crawl sees repeatedly); every
+    endpoint surface, rare variants included, links into it via the
+    posting-list char-bigram join at a strong-match floor (score_ppm >=
+    600000); triples whose endpoints BOTH link aggregate into weighted
+    canonical edges. Rare surfaces either resolve onto a canonical
+    entity or drop — the linking decision this stage exists to make.
+    All integer/string-exact, so the whole composition is
+    oracle-checkable."""
+    from zh_ner_tf_spark.functions.hashing import poly_hash
+    from zh_ner_tf_spark.operators.linking import link_mentions
+
+    # traversed by the KB census, the mention side and the edge join —
+    # checkpoint so extraction runs once (graph_stats precedent)
+    trips = _gold_triples(spark, sf_dir).localCheckpoint()
+    surf = trips.select(F.col("subj").alias("s")).unionAll(
+        trips.select(F.col("obj").alias("s"))
+    )
+    kb = (
+        surf.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(poly_hash(F.col("s")).alias("entity_id"), F.col("s").alias("name"))
+    )
+    mentions = surf.distinct().select(F.col("s").alias("surface"))
+    links = link_mentions(
+        mentions, kb, mention_col="surface", k=2, min_score_ppm=600_000
+    ).localCheckpoint()
+    lsub = links.select(
+        F.col("surface").alias("subj"),
+        F.col("entity_id").alias("src"),
+        F.col("name").alias("src_name"),
+    )
+    lobj = links.select(
+        F.col("surface").alias("obj"),
+        F.col("entity_id").alias("dst"),
+        F.col("name").alias("dst_name"),
+    )
+    return (
+        trips.join(F.broadcast(lsub), "subj")
+        .join(F.broadcast(lobj), "obj")
+        .groupBy("src", "src_name", "pred", "dst", "dst_name")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assertion-selection scoring over the extracted triples (r7
     debut): per distinct (subj, pred, obj), extraction support ``n``,
@@ -1788,7 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          ann_int8_rescore, near_dup_keep_longest, neardup_degrees,
          mention_cooccurrence, cooccur_triangles, stratified_sample,
          pagerank_mentions, khop_mentions, triple_confidence,
-         entity_link;
+         entity_link, linked_triples;
          the four r6 debuts stay in-window for a second consecutive
          driver check, the r5-debut precedent);
       2. a rotated-out entry returns within ONE round. r7 RETURNS all
@@ -1815,8 +1864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          lang_id; winnow_fingerprint — dedup_exact/minhash_bands/
          lsh_doc_pairs/near_dup_clusters stay; sessionize_events —
          asof_events_orders/running_window stay; and, to make room for
-         the entity_link debut: approx_quantiles_orders — approx-family
-         rep stays via approx_distinct_documents).
+         the entity_link and linked_triples debuts:
+         approx_quantiles_orders — approx-family rep stays via
+         approx_distinct_documents; train_descent — training-family rep
+         stays via train_descent_softmax).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1836,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_mentions": q_khop_mentions,
         "triple_confidence": q_triple_confidence,
         "entity_link": q_entity_link,
+        "linked_triples": q_linked_triples,
         # --- r6 debuts, kept for a second consecutive driver check ---
         "ivf_codebook_quality": q_ivf_codebook_quality,
         "cc_delta": q_cc_delta,
@@ -1858,7 +1910,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- standing coverage ---
         "stream_dedup_totals": q_stream_dedup_totals,
         "salted_join_events": q_salted_join_events,
-        "train_descent": q_train_descent,
         "cc_full": q_cc_full,
         "anti_join_resume": q_anti_join_resume,
         "sentence_split": q_sentence_split,
@@ -1883,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every round by tests/test_entry_contract.py ---
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "approx_quantiles_orders": q_approx_quantiles_orders,
+        "train_descent": q_train_descent,
         "broadcast_join_dims": q_broadcast_join_dims,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "cube_lineitem": q_cube_lineitem,
@@ -2698,6 +2750,47 @@ SELECT subj, pred, obj, n, sp_total::BIGINT AS sp_total,
        row_number() OVER (PARTITION BY subj, pred
                           ORDER BY n DESC, obj)::BIGINT AS rnk
 FROM tot
+"""
+
+    # linked_triples: triple extraction -> entity linking of both
+    # endpoint surfaces (link_mentions replica: distinct char-bigram
+    # poly hashes, no df pruning, strong-match floor 600000, argmax
+    # (score DESC, entity_id ASC, name DESC)) -> canonical weighted
+    # edges over triples whose endpoints both link.
+    fam_sqls["linked_triples"] = f"""{triples_chain},
+lk_surfs AS (SELECT subj AS s FROM trip UNION ALL SELECT obj AS s FROM trip),
+lk_kb AS (SELECT {_poly_sql('s')} AS entity_id, s AS name
+       FROM (SELECT s, count(*) AS c FROM lk_surfs GROUP BY s) WHERE c >= 2),
+lk_men AS (SELECT DISTINCT s AS surface FROM lk_surfs),
+lk_eg AS (SELECT entity_id, name,
+         unnest(list_distinct([{_poly_sql("substring(name, i, 2)")}
+           for i in generate_series(1, greatest(length(name) - 1, 1))])) AS g
+       FROM lk_kb),
+lk_mg AS (SELECT surface,
+         unnest(list_distinct([{_poly_sql("substring(surface, i, 2)")}
+           for i in generate_series(1, greatest(length(surface) - 1, 1))])) AS g
+       FROM lk_men),
+lk_ne AS (SELECT entity_id, name, count(*) AS n_e FROM lk_eg
+       GROUP BY entity_id, name),
+lk_nm AS (SELECT surface, count(*) AS n_m FROM lk_mg GROUP BY surface),
+lk_cand AS (SELECT surface, entity_id, name, count(*)::BIGINT AS shared
+         FROM lk_mg JOIN lk_eg USING (g) GROUP BY surface, entity_id, name),
+lk_scored AS (
+  SELECT c.surface, c.entity_id, c.name,
+         ((1000000::BIGINT * c.shared) //
+          (lk_nm.n_m + lk_ne.n_e - c.shared))::BIGINT AS score_ppm
+  FROM lk_cand c JOIN lk_nm USING (surface)
+                 JOIN lk_ne USING (entity_id, name)),
+links AS (
+  SELECT surface, entity_id, name FROM (
+    SELECT *, row_number() OVER (PARTITION BY surface
+      ORDER BY score_ppm DESC, entity_id ASC, name DESC) AS rn
+    FROM lk_scored WHERE score_ppm >= 600000) WHERE rn = 1)
+SELECT ls.entity_id AS src, ls.name AS src_name, t.pred,
+       lo.entity_id AS dst, lo.name AS dst_name, count(*)::BIGINT AS weight
+FROM trip t JOIN links ls ON t.subj = ls.surface
+            JOIN links lo ON t.obj = lo.surface
+GROUP BY ls.entity_id, ls.name, t.pred, lo.entity_id, lo.name
 """
 
     fam_sqls["minhash_bands"] = _minhash_bands_sql()

@@ -100,7 +100,7 @@ DOC_QUERIES = [
     "near_dup_keep_longest", "neardup_degrees", "mention_cooccurrence",
     "cooccur_triangles", "stratified_sample",
     "pagerank_mentions", "khop_mentions", "triple_confidence",
-    "entity_link",
+    "entity_link", "linked_triples",
 ]
 
 
