@@ -1970,6 +1970,51 @@ def _poly_sql(expr: str) -> str:
     )
 
 
+def _link_sql(men_cte: str, ent_cte: str, max_df: int | None, floor: int) -> str:
+    """CTE chain replicating operators/linking.link_mentions — the ONE
+    SQL replica both entity_link and linked_triples oracles share, so a
+    semantics change (tie-break, ppm formula, gram fallback) edits one
+    place. Consumes ``men_cte``(surface) and ``ent_cte``(entity_id,
+    name); defines lk_-prefixed working CTEs and a final ``links``
+    = (surface, entity_id, name, score_ppm, shared), one row per linked
+    surface."""
+
+    def grams(col: str) -> str:
+        return (
+            f"unnest(list_distinct([{_poly_sql(f'substring({col}, i, 2)')}\n"
+            f"  for i in generate_series(1, greatest(length({col}) - 1, 1))])) AS g"
+        )
+
+    prune = ""
+    eg_src, mg_src = "lk_eg", "lk_mg"
+    if max_df is not None:
+        prune = f"""
+lk_banned AS (SELECT g FROM (SELECT g, count(*) AS c FROM lk_eg GROUP BY g)
+              WHERE c > {max_df}),
+lk_egp AS (SELECT lk_eg.* FROM lk_eg ANTI JOIN lk_banned USING (g)),
+lk_mgp AS (SELECT lk_mg.* FROM lk_mg ANTI JOIN lk_banned USING (g)),"""
+        eg_src, mg_src = "lk_egp", "lk_mgp"
+    return f"""lk_eg AS (SELECT entity_id, name, {grams('name')} FROM {ent_cte}),
+lk_mg AS (SELECT surface, {grams('surface')} FROM {men_cte}),{prune}
+lk_ne AS (SELECT entity_id, name, count(*) AS n_e FROM {eg_src}
+          GROUP BY entity_id, name),
+lk_nm AS (SELECT surface, count(*) AS n_m FROM {mg_src} GROUP BY surface),
+lk_cand AS (SELECT surface, entity_id, name, count(*)::BIGINT AS shared
+            FROM {mg_src} JOIN {eg_src} USING (g)
+            GROUP BY surface, entity_id, name),
+lk_scored AS (
+  SELECT c.surface, c.entity_id, c.name, c.shared,
+         ((1000000::BIGINT * c.shared) //
+          (lk_nm.n_m + lk_ne.n_e - c.shared))::BIGINT AS score_ppm
+  FROM lk_cand c JOIN lk_nm USING (surface)
+                 JOIN lk_ne USING (entity_id, name)),
+links AS (
+  SELECT surface, entity_id, name, score_ppm, shared FROM (
+    SELECT *, row_number() OVER (PARTITION BY surface
+      ORDER BY score_ppm DESC, entity_id ASC, name DESC) AS rn
+    FROM lk_scored WHERE score_ppm >= {floor}) WHERE rn = 1)"""
+
+
 # gram hash = fold (acc*31 + token_hash) mod P over n token hashes
 # (token hash = polynomial char hash); docs shorter than n tokens hash
 # as one whole-token-list fold — mirrors dedup.word_ngram_hashes.
@@ -2753,39 +2798,15 @@ FROM tot
 """
 
     # linked_triples: triple extraction -> entity linking of both
-    # endpoint surfaces (link_mentions replica: distinct char-bigram
-    # poly hashes, no df pruning, strong-match floor 600000, argmax
-    # (score DESC, entity_id ASC, name DESC)) -> canonical weighted
-    # edges over triples whose endpoints both link.
+    # endpoint surfaces (the shared _link_sql replica: no df pruning,
+    # strong-match floor 600000) -> canonical weighted edges over
+    # triples whose endpoints both link.
     fam_sqls["linked_triples"] = f"""{triples_chain},
 lk_surfs AS (SELECT subj AS s FROM trip UNION ALL SELECT obj AS s FROM trip),
 lk_kb AS (SELECT {_poly_sql('s')} AS entity_id, s AS name
        FROM (SELECT s, count(*) AS c FROM lk_surfs GROUP BY s) WHERE c >= 2),
 lk_men AS (SELECT DISTINCT s AS surface FROM lk_surfs),
-lk_eg AS (SELECT entity_id, name,
-         unnest(list_distinct([{_poly_sql("substring(name, i, 2)")}
-           for i in generate_series(1, greatest(length(name) - 1, 1))])) AS g
-       FROM lk_kb),
-lk_mg AS (SELECT surface,
-         unnest(list_distinct([{_poly_sql("substring(surface, i, 2)")}
-           for i in generate_series(1, greatest(length(surface) - 1, 1))])) AS g
-       FROM lk_men),
-lk_ne AS (SELECT entity_id, name, count(*) AS n_e FROM lk_eg
-       GROUP BY entity_id, name),
-lk_nm AS (SELECT surface, count(*) AS n_m FROM lk_mg GROUP BY surface),
-lk_cand AS (SELECT surface, entity_id, name, count(*)::BIGINT AS shared
-         FROM lk_mg JOIN lk_eg USING (g) GROUP BY surface, entity_id, name),
-lk_scored AS (
-  SELECT c.surface, c.entity_id, c.name,
-         ((1000000::BIGINT * c.shared) //
-          (lk_nm.n_m + lk_ne.n_e - c.shared))::BIGINT AS score_ppm
-  FROM lk_cand c JOIN lk_nm USING (surface)
-                 JOIN lk_ne USING (entity_id, name)),
-links AS (
-  SELECT surface, entity_id, name FROM (
-    SELECT *, row_number() OVER (PARTITION BY surface
-      ORDER BY score_ppm DESC, entity_id ASC, name DESC) AS rn
-    FROM lk_scored WHERE score_ppm >= 600000) WHERE rn = 1)
+{_link_sql('lk_men', 'lk_kb', max_df=None, floor=600_000)}
 SELECT ls.entity_id AS src, ls.name AS src_name, t.pred,
        lo.entity_id AS dst, lo.name AS dst_name, count(*)::BIGINT AS weight
 FROM trip t JOIN links ls ON t.subj = ls.surface
@@ -3000,11 +3021,10 @@ FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 
     fam_sqls["entity_blocking"] = _entity_blocking_sql()
 
-    # entity_link: exact replica of linking.link_mentions — distinct
-    # char-bigram poly hashes per side, entity-side df > 150 bans a gram
-    # from BOTH sides, ppm-lattice Jaccard (BIGINT //), argmax per
-    # surface with (score DESC, entity_id ASC, name DESC) = Spark's
-    # max(struct(score, -eid, name)).
+    # entity_link: exact replica of linking.link_mentions via the shared
+    # _link_sql chain (entity-side df > 150 bans a gram from BOTH sides,
+    # ppm-lattice Jaccard, argmax (score DESC, entity_id ASC, name DESC)
+    # = Spark's max(struct(score, -eid, name))).
     fam_sqls["entity_link"] = f"""
 WITH toks AS ({_TOKS_SQL}),
 prs AS (
@@ -3014,37 +3034,10 @@ prs AS (
 ent AS (SELECT {_poly_sql('name')} AS entity_id, name
         FROM (SELECT DISTINCT name FROM prs)),
 men AS (SELECT DISTINCT surface FROM prs),
-eg AS (SELECT entity_id, name,
-         unnest(list_distinct([{_poly_sql("substring(name, i, 2)")}
-           for i in generate_series(1, greatest(length(name) - 1, 1))])) AS g
-       FROM ent),
-mg AS (SELECT surface,
-         unnest(list_distinct([{_poly_sql("substring(surface, i, 2)")}
-           for i in generate_series(1, greatest(length(surface) - 1, 1))])) AS g
-       FROM men),
-banned AS (SELECT g FROM (SELECT g, count(*) AS c FROM eg GROUP BY g)
-           WHERE c > 150),
-egp AS (SELECT eg.* FROM eg ANTI JOIN banned USING (g)),
-mgp AS (SELECT mg.* FROM mg ANTI JOIN banned USING (g)),
-ne AS (SELECT entity_id, name, count(*) AS n_e FROM egp
-       GROUP BY entity_id, name),
-nm AS (SELECT surface, count(*) AS n_m FROM mgp GROUP BY surface),
-cand AS (SELECT surface, entity_id, name, count(*)::BIGINT AS shared
-         FROM mgp JOIN egp USING (g) GROUP BY surface, entity_id, name),
-scored AS (
-  SELECT c.surface, c.entity_id, c.name, c.shared,
-         ((1000000::BIGINT * c.shared) //
-          (nm.n_m + ne.n_e - c.shared))::BIGINT AS score_ppm
-  FROM cand c JOIN nm USING (surface) JOIN ne USING (entity_id, name)
-),
-best AS (
-  SELECT *, row_number() OVER (PARTITION BY surface
-    ORDER BY score_ppm DESC, entity_id ASC, name DESC) AS rn
-  FROM scored WHERE score_ppm >= 300000
-)
+{_link_sql('men', 'ent', max_df=150, floor=300_000)}
 SELECT {_poly_sql('surface')} AS mention_id, surface, entity_id, name,
        score_ppm, shared
-FROM best WHERE rn = 1
+FROM links
 """
 
     fam_sqls["cc_long_path"] = """

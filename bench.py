@@ -527,7 +527,8 @@ def graph_ops_timing(spark, sf_dir: str) -> dict:
     out: dict = {}
     for name in ("stratified_sample", "near_dup_keep_longest",
                  "cooccur_triangles", "pagerank_mentions",
-                 "khop_mentions", "triple_confidence", "entity_link"):
+                 "khop_mentions", "triple_confidence", "entity_link",
+                 "linked_triples"):
         best = None
         for _ in range(2):
             t0 = time.time()

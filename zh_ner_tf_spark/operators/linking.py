@@ -80,8 +80,11 @@ def link_mentions(
 
     mentions: any DataFrame with a ``mention_col`` string column (rows
     are deduplicated on it -- a surface links once, however often it
-    occurs). entities: (entity_id_col, entity_name_col) canonical table,
-    unique on entity_id. Returns one row per linkable mention:
+    occurs). entities: (entity_id_col, entity_name_col) canonical table;
+    exact duplicate rows are collapsed (they must not inflate gram
+    counts), while distinct (id, name) pairs -- including one id under
+    several names -- stay separate candidates and resolve through the
+    tie-break. Returns one row per linkable mention:
 
       (mention_col, entity_id, entity_name, score_ppm, shared)
 
