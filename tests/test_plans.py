@@ -336,3 +336,29 @@ def test_delta_surface_pairs_plan_shape(spark):
     # AQE may also elect a broadcast hash join for the tiny new side)
     assert "band_id" in plan and "band_value" in plan
     assert "Join" in plan
+
+
+def test_link_mentions_gram_joins_are_broadcast(spark):
+    """Entity linking with a broadcastable KB: every GRAM-keyed join
+    (the posting join and the banned-gram anti-joins) must be a
+    BroadcastHashJoin — the corpus side never shuffles for candidate
+    generation. The per-mention count join may legitimately shuffle
+    (both sides are corpus-keyed at scale), but nothing may degrade to
+    a nested-loop join."""
+    from zh_ner_tf_spark.operators.linking import link_mentions
+
+    men = spark.createDataFrame([("newyork",), ("bigdata",)], "surface string")
+    ents = spark.createDataFrame(
+        [(1, "new york"), (2, "big data")], "entity_id long, name string"
+    )
+    plan = _plan(link_mentions(men, ents, max_gram_df=10))
+    gram_joins = [
+        ln for ln in plan.splitlines()
+        if "Join [_gram" in ln or ("Join" in ln and "[_gram#" in ln)
+    ]
+    assert gram_joins, plan  # the posting/anti joins are really there
+    assert all("BroadcastHashJoin" in ln for ln in gram_joins), gram_joins
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the shuffle-KB variant keeps the gram equi-join hash-based too
+    plan2 = _plan(link_mentions(men, ents, broadcast_entities=False))
+    assert "BroadcastNestedLoopJoin" not in plan2
