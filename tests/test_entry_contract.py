@@ -116,6 +116,12 @@ def null_heavy_sf(spark, tmp_path_factory):
         "", "x",                                # empty / sub-shingle
         "scan scans group groups sort sorts table join",
         "the quick brown fox jumps over the lazy dog",
+        # non-BMP + combining forms: Spark split('')/ascii() and DuckDB
+        # string_split('')/ascii() both walk CODE POINTS (probed r7:
+        # surrogate pairs do NOT split), so every poly-hash oracle must
+        # stay value-exact on emoji / math alphanumerics / CJK
+        "北京 大学 😀emoji 𝕏math table",
+        "🇺🇸flag naïve scan 😀emoji",
     ]
     rows = [
         (i, t, ["zh", "en", "de"][i % 3], f"s{i % 4}", len(t) if t else 0)
