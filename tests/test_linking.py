@@ -273,3 +273,65 @@ def test_property_link_matches_sequential_replica(spark, men, ents, maxdf, thr):
     )
     want = _py_link(men, ents, max_gram_df=maxdf, min_score_ppm=thr)
     assert got_t == want
+
+
+def test_link_surfaces_to_published_graph(spark, tmp_path):
+    """Alias resolution end-to-end through the REAL publish path:
+    graph_from_mentions -> materialize_graph (snapshot+lineage sink) ->
+    link_surfaces_to_graph reads the committed snapshot, builds cluster
+    reps, and links variant surfaces — exactly matching the sequential
+    replica run on the same reps. Time travel: etype filtering works
+    and an unpublished root raises."""
+    import pytest as _pytest
+
+    from zh_ner_tf_spark.pipeline import (
+        graph_from_mentions,
+        link_surfaces_to_graph,
+        materialize_graph,
+    )
+
+    occurrences = (
+        [("alpha corp", "ORG")] * 5
+        + [("alpha corps", "ORG")] * 2
+        + [("beta industries", "ORG")] * 4
+        + [("john smith", "PER")] * 3
+    )
+    mentions = spark.createDataFrame(occurrences, "mention string, etype string")
+    triples = spark.createDataFrame([], "subj string, pred string, obj string")
+    nodes, edges = graph_from_mentions(mentions, triples)
+    root = str(tmp_path / "graph")
+    materialize_graph(spark, {"nodes": nodes, "edges": edges}, root, n_buckets=2)
+
+    variants = ["alphacorp", "beta industrie", "jon smith", "zzzz"]
+    got = link_surfaces_to_graph(
+        spark, root, _mentions(spark, variants), min_score_ppm=300_000
+    ).collect()
+    got_t = sorted(
+        (r["surface"], r["canon_id"], r["canon_name"], r["score_ppm"], r["shared"])
+        for r in got
+    )
+    reps = (
+        nodes.groupBy("canon_id")
+        .agg(F.max(F.struct("freq", "surface")).alias("_b"))
+        .select("canon_id", F.col("_b.surface").alias("name"))
+        .collect()
+    )
+    want = _py_link(
+        variants, [(r["canon_id"], r["name"]) for r in reps],
+        min_score_ppm=300_000,
+    )
+    assert got_t == want
+    assert {r["surface"] for r in got} >= {"alphacorp", "beta industrie"}
+    assert "zzzz" not in {r["surface"] for r in got}
+
+    # etype scoping: PER-only KB cannot resolve the ORG variants
+    per_only = link_surfaces_to_graph(
+        spark, root, _mentions(spark, variants),
+        etypes=("PER",), min_score_ppm=300_000,
+    ).collect()
+    assert {r["canon_name"] for r in per_only} <= {"john smith"}
+
+    with _pytest.raises(FileNotFoundError):
+        link_surfaces_to_graph(
+            spark, str(tmp_path / "nowhere"), _mentions(spark, variants)
+        )

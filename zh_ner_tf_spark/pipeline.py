@@ -753,3 +753,62 @@ def materialize_graph(
         "src", n_buckets, replace=replace,
     )
     return {"nodes": nodes_sid, "edges": edges_sid}
+
+
+def link_surfaces_to_graph(
+    spark: SparkSession,
+    graph_root: str,
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    etypes: tuple[str, ...] | None = None,
+    min_score_ppm: int = 600_000,
+    max_gram_df: int | None = None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Alias resolution against a PUBLISHED graph (read-only — touches
+    no pipeline state): load the nodes table under ``graph_root``
+    (optionally a time-travel ``snapshot_id``), collapse each canonical
+    cluster to one representative name (max freq, ties to the
+    lexicographically larger surface — the deterministic max(struct)
+    rule), and link the given surfaces into that canonical space with
+    operators/linking.link_mentions. Use it to resolve long-tail
+    variant spellings the LSH blocking never band-collided (blocking
+    requires shingle overlap ABOVE the band threshold; linking scores
+    every shared-gram candidate), or to map external mention lists onto
+    an existing graph without re-canonicalizing.
+
+    Returns (surface_col, canon_id, canon_name, score_ppm, shared) —
+    one row per surface that links at ``min_score_ppm`` or better.
+    """
+    import os
+
+    from zh_ner_tf_spark.operators.linking import link_mentions
+    from zh_ner_tf_spark.sources.sinks import read_snapshot
+
+    nodes = read_snapshot(
+        spark, os.path.join(graph_root, "nodes"), snapshot_id=snapshot_id
+    )
+    if etypes:
+        nodes = nodes.filter(F.col("etype").isin(*etypes))
+    # reps are KB-sized — checkpoint so the nodes scan + agg run once
+    # across link_mentions' three entity-side traversals
+    reps = (
+        nodes.groupBy("canon_id")
+        .agg(F.max(F.struct("freq", "surface")).alias("_b"))
+        .select(
+            F.col("canon_id").alias("entity_id"),
+            F.col("_b.surface").alias("name"),
+        )
+        .localCheckpoint()
+    )
+    return (
+        link_mentions(
+            surfaces,
+            reps,
+            mention_col=surface_col,
+            max_gram_df=max_gram_df,
+            min_score_ppm=min_score_ppm,
+        )
+        .withColumnRenamed("entity_id", "canon_id")
+        .withColumnRenamed("name", "canon_name")
+    )
