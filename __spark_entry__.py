@@ -648,12 +648,43 @@ def q_quantized_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_jaccard_ok(ndf: DataFrame, nd8: DataFrame) -> DataFrame:
+    """One-row (neardup_ok BIGINT) frame: Jaccard agreement >= 0.9
+    between two (src, dst) pair sets, computed in one union + groupBy
+    (a pair seen twice is in the intersection, once -> one side only).
+    Empty pair sets are agreement: sum() over zero rows is NULL and
+    0 >= 0.9*0 must read as ok, so the gate coalesces n_inter and
+    short-circuits n_union=0 (ADVICE r7)."""
+    stats = (
+        ndf.select("src", "dst")
+        .unionByName(nd8.select("src", "dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum((F.col("c") == 2).cast("bigint")).alias("n_inter"),
+        )
+    )
+    return stats.select(
+        (
+            (F.col("n_union") == 0)
+            | (
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                >= F.lit(0.9) * F.col("n_union")
+            )
+        )
+        .cast("bigint").alias("neardup_ok")
+    )
+
+
 def q_ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-rescored ANN gate (r7 debut; VERDICT r6 item 2): the
     ann_topk / embedding_near_dups hot paths can carry corpus vectors
-    through their candidate stages as int8 codes + per-row scale (~8x
-    fewer bytes on the exchanges that dominate at crawl scale),
-    dequantizing inside the rescore projection. The candidate sets are
+    through their candidate stages as int8 code arrays (~8x fewer
+    bytes on the exchanges that dominate at crawl scale). Because
+    cosine is scale-invariant, the rescore runs DIRECTLY on the raw
+    int8 codes — the per-row quantization scale is neither carried nor
+    applied (similarity.py int8 design note). The candidate sets are
     IDENTICAL to the float paths (banding stays on float vectors), so
     the only degradation is rank/threshold flips from int8 rounding —
     gated here as (a) per-query recall@10 of int8-rescored ann_topk vs
@@ -696,22 +727,7 @@ def q_ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndf = embedding_near_dups(emb, threshold=0.3, n_rows=nr, dim=dm)
     nd8 = embedding_near_dups(emb, threshold=0.3, n_rows=nr, dim=dm,
                               int8_rescore=True)
-    # Jaccard agreement of the two pair sets in one union + groupBy:
-    # a pair seen twice is in the intersection, once -> one side only
-    stats = (
-        ndf.select("src", "dst")
-        .unionByName(nd8.select("src", "dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.count(F.lit(1)).alias("n_union"),
-            F.sum((F.col("c") == 2).cast("bigint")).alias("n_inter"),
-        )
-    )
-    pair_ok = stats.select(
-        (F.col("n_inter") >= F.lit(0.9) * F.col("n_union"))
-        .cast("bigint").alias("neardup_ok")
-    )
+    pair_ok = _pair_jaccard_ok(ndf, nd8)
     return recall_rows.crossJoin(F.broadcast(pair_ok)).select(
         "query_id", "recall_ok", "neardup_ok"
     )

@@ -1181,3 +1181,50 @@ def test_ivf_codebook_quality_margin(spark):
     delta = (entry._mean_max_cos(emb, cent_d)
              - entry._mean_max_cos(emb, cent_s))
     assert delta >= -1e-6, f"never_worse margin delta={delta:.2e}"
+
+
+def test_pair_jaccard_ok_empty_and_partial_sets(spark):
+    """ADVICE r7: the ann_int8_rescore near-dup agreement gate must be
+    well-defined on EMPTY pair sets (sum over zero rows is NULL) and
+    compute plain Jaccard otherwise."""
+    import __spark_entry__ as entry
+
+    def pairs(rows):
+        return spark.createDataFrame(rows or [], "src BIGINT, dst BIGINT")
+
+    empty = pairs(None)
+    # both empty -> vacuous agreement, not NULL
+    assert entry._pair_jaccard_ok(empty, empty).collect()[0][
+        "neardup_ok"] == 1
+    # one side empty, other not -> union>0, inter=0 -> not ok
+    some = pairs([(1, 2), (3, 4)])
+    assert entry._pair_jaccard_ok(some, empty).collect()[0][
+        "neardup_ok"] == 0
+    # 9/10 overlap -> exactly at the 0.9 gate -> ok
+    a = pairs([(i, i + 100) for i in range(10)])
+    b = pairs([(i, i + 100) for i in range(9)] + [(99, 999)])
+    # union = 11, inter = 9 -> 9 < 0.9*11 -> not ok
+    assert entry._pair_jaccard_ok(a, b).collect()[0]["neardup_ok"] == 0
+    # identical sets -> ok
+    assert entry._pair_jaccard_ok(a, a).collect()[0]["neardup_ok"] == 1
+
+
+def test_quantize_embeddings_rejects_column_collisions(spark):
+    """ADVICE r7: inputs already carrying the working/output column
+    names must raise, not be silently clobbered/dropped."""
+    from zh_ner_tf_spark.operators.similarity import quantize_embeddings
+
+    base = spark.createDataFrame(
+        [(1, [0.5, -0.25])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    for bad in ("_qmaxabs", "qembedding", "qscale"):
+        with pytest.raises(ValueError, match=bad):
+            quantize_embeddings(base.withColumn(bad, F.lit(0)))
+    # non-default names collide too
+    with pytest.raises(ValueError, match="codes"):
+        quantize_embeddings(
+            base.withColumn("codes", F.lit(0)), q_col="codes"
+        )
+    # and renaming the collision away works
+    out = quantize_embeddings(base)
+    assert {"qembedding", "qscale"} <= set(out.columns)

@@ -335,3 +335,15 @@ def test_link_surfaces_to_published_graph(spark, tmp_path):
         link_surfaces_to_graph(
             spark, str(tmp_path / "nowhere"), _mentions(spark, variants)
         )
+
+
+def test_string_entity_ids_rejected_up_front(spark):
+    """ADVICE r7: the min-id tie-break negates entity_id inside
+    max(struct); a string-id KB must fail with the documented contract,
+    not an analysis-time cast error."""
+    men = spark.createDataFrame([("abc",)], "surface STRING")
+    ents = spark.createDataFrame(
+        [("E1", "abc")], "entity_id STRING, name STRING"
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        link_mentions(men, ents)

@@ -555,3 +555,17 @@ def test_event_ttl_null_event_times_do_not_poison_deadline():
     _run_update(fn, s2, [(9, pd.NaT)])
     assert s2.timeout_ts == ms0 + 1
     assert s2.get == (9, 1, None)
+
+
+def test_event_time_ttl_rejects_batch_input(spark):
+    """ADVICE r7: EventTimeTimeout is watermark-driven and streaming-
+    only; a batch frame with event_time_col set must raise the
+    operator's contract, not an opaque downstream error."""
+    from zh_ner_tf_spark.streaming.stateful import stream_dedup_groups
+
+    docs = spark.createDataFrame(
+        [(1, "t", "2024-01-01 00:00:00")],
+        "doc_id BIGINT, text STRING, ts STRING",
+    )
+    with pytest.raises(ValueError, match="STREAMING"):
+        stream_dedup_groups(docs, state_ttl_ms=1000, event_time_col="ts")

@@ -92,7 +92,10 @@ def link_mentions(
     pruned distinct-gram space; mentions with no candidate scoring >=
     ``min_score_ppm`` are absent (no-link). Ties break deterministically:
     max score, then min entity_id, then max entity name (the last leg
-    only matters under a poly-hash id collision).
+    only matters under a poly-hash id collision). entity_id_col must be
+    a NUMERIC column — the min-id tie-break is expressed as arithmetic
+    negation inside a max(struct) aggregate (validated up front; a
+    string-id KB should derive a numeric key first, e.g. a poly-hash).
 
     Traversal contract: ``mentions`` lineage is executed twice (gram
     count + posting join) and ``entities`` three times (df census +
@@ -101,6 +104,19 @@ def link_mentions(
     materializing a corpus-sized gram table on their behalf.
     """
     _check_reserved(mentions, entities)
+    id_type = entities.schema[entity_id_col].dataType.typeName()
+    if id_type not in {
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    }:
+        # The min-id tie-break negates the id inside max(struct); a
+        # string-id KB would fail at analysis with an unhelpful cast
+        # error — enforce the documented numeric contract here instead
+        # (ADVICE r7).
+        raise ValueError(
+            f"link_mentions: {entity_id_col!r} must be numeric (got "
+            f"{id_type}); derive a numeric key (e.g. poly-hash) for "
+            f"string-id KBs"
+        )
 
     men = mentions.select(mention_col).distinct()
     mg = gram_rows(men, [mention_col], mention_col, k)

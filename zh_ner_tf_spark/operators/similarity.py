@@ -889,6 +889,17 @@ def quantize_embeddings(
     caught (int8 paths measuring ~50% slower than float at dim=64).
     Catalyst's CollapseProject keeps multi-referenced non-cheap aliases
     staged, so the scan stays O(dim) per row."""
+    # Output/working names must not collide with existing columns — a
+    # frame already carrying _qmaxabs (or the q/scale names) would be
+    # silently clobbered and dropped (ADVICE r7; linking._check_reserved
+    # pattern).
+    taken = set(emb.columns) & {"_qmaxabs", q_col, scale_col}
+    if taken:
+        raise ValueError(
+            f"quantize_embeddings: input already has column(s) "
+            f"{sorted(taken)}; rename them or pass different "
+            f"q_col/scale_col"
+        )
     x = F.col(vec_col)
     staged = emb.withColumn(
         "_qmaxabs",

@@ -241,13 +241,20 @@ def stream_dedup_groups(
     if event_time_col is not None:
         if state_ttl_ms is None:
             raise ValueError("event_time_col requires state_ttl_ms")
+        if not docs.isStreaming:
+            # EventTimeTimeout needs a watermark, which only a streaming
+            # frame can carry — fail here with the operator's contract
+            # instead of an opaque analysis error downstream (ADVICE r7).
+            raise ValueError(
+                "event_time_col requires a STREAMING DataFrame "
+                "(event-time TTL is watermark-driven); for batch input "
+                "use dedup.exact_dup_groups or drop event_time_col"
+            )
         hashed = docs.select(
             F.md5(F.col("text")).alias("content_hash"),
             F.col("doc_id"),
             F.col(event_time_col).cast("timestamp").alias("_ets"),
-        )
-        if hashed.isStreaming:
-            hashed = hashed.withWatermark("_ets", watermark_delay)
+        ).withWatermark("_ets", watermark_delay)
         return hashed.groupBy("content_hash").applyInPandasWithState(
             _update_dedup_event_ttl(int(state_ttl_ms)),
             outputStructType=_DEDUP_OUT_SCHEMA,
