@@ -33,7 +33,11 @@ from zh_ner_tf_spark.config import ENG_TOKEN, NUM_TOKEN, PAD_TOKEN, SEED, UNK_TO
 from zh_ner_tf_spark.functions.hashing import MINHASH_PRIME, hash_family
 from zh_ner_tf_spark.functions.text import lang_id, quality_features, token_count_bpe_ish, token_count_ws
 from zh_ner_tf_spark.model.weights import build_class_weights
-from zh_ner_tf_spark.operators.evaluation import conlleval_prf1, token_accuracy
+from zh_ner_tf_spark.operators.evaluation import (
+    conlleval_prf1,
+    conlleval_prf1_fused,
+    token_accuracy,
+)
 from zh_ner_tf_spark.operators.sentences import split_sentences, tokenize
 from zh_ner_tf_spark.operators.similarity import brute_force_topk
 from zh_ner_tf_spark.operators.skew import salted_agg
@@ -405,14 +409,13 @@ def q_bio_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_eval_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one fused pass emits both tag columns; localCheckpoint materializes
-    # it so the gold/pred span-extraction branches (the gold side is
-    # consumed twice inside conlleval_prf1) never re-run the tokenize +
-    # window upstream — 3 executions of the tagged plan become 1.
+    # one fused pass emits both tag columns (localCheckpoint: tokenize +
+    # tagging window run once), then the FUSED scorer extracts gold and
+    # pred spans from one window sort and skips mention-string assembly
+    # (conlleval_prf1_fused — VERDICT r7 item 7; value-equal to the
+    # two-frame scorer, pytest-pinned)
     fused = _rule_tagged_both(_tokens(spark, sf_dir)).localCheckpoint()
-    gold = fused.select("doc_id", "pos", "ch", F.col("gold_tag").alias("tag"))
-    pred = fused.select("doc_id", "pos", "ch", F.col("pred_tag").alias("tag"))
-    return conlleval_prf1(gold, pred, ["doc_id"], "pos", "tag", "ch")
+    return conlleval_prf1_fused(fused, ["doc_id"], "pos")
 
 
 def q_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,6 +1000,67 @@ def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_score_ppm=300_000,
     )
     return linked.select(
+        poly_hash(F.col("surface")).alias("mention_id"),
+        "surface",
+        "entity_id",
+        "name",
+        "score_ppm",
+        F.col("shared").cast("bigint").alias("shared"),
+    )
+
+
+def q_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental alias refresh (r8 debut; VERDICT r7 item 3): the
+    identity run_incremental's link tail rests on — refresh_links over
+    (prior links vs the OLD KB) equals a full link_mentions relink of
+    EVERY surface against the NEW KB, while putting only touched
+    surfaces through the posting join. Fixture: the entity_link corpus
+    (adjacent-token bigram names vs their run-together concatenations),
+    split two ways — the old corpus is the even doc_ids' surfaces, the
+    old KB is the names with support >= 3; the new corpus is every
+    surface, the new KB support >= 2. The KB growth adds entities AND
+    pushes shared grams across the df-150 ban threshold, so the
+    refresh exercises the add-diff path and the banned-flip path in
+    one row. The oracle replicates the FULL relink (the shared
+    _link_sql CTE chain against the new KB) — the driver compare IS
+    the incremental == full gate."""
+    from zh_ner_tf_spark.functions.hashing import poly_hash
+    from zh_ner_tf_spark.operators.linking import link_mentions, refresh_links
+
+    toks = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("_nxt", F.lead("token").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "token", "_nxt").alias("name"),
+            F.concat("token", "_nxt").alias("surface"),
+        )
+        .localCheckpoint()
+    )
+    support = pairs.groupBy("name").agg(F.count(F.lit(1)).alias("c"))
+    kb_new = support.filter(F.col("c") >= 2).select(
+        poly_hash(F.col("name")).alias("entity_id"), "name"
+    )
+    kb_old = support.filter(F.col("c") >= 3).select(
+        poly_hash(F.col("name")).alias("entity_id"), "name"
+    )
+    all_m = pairs.select("surface").distinct()
+    old_m = (
+        pairs.filter(F.col("doc_id") % 2 == 0).select("surface").distinct()
+    )
+    new_m = all_m.join(old_m, "surface", "left_anti")
+    prior = link_mentions(
+        old_m, kb_old, mention_col="surface", k=2,
+        max_gram_df=150, min_score_ppm=300_000,
+    )
+    refreshed = refresh_links(
+        all_m, new_m, prior, kb_old, kb_new,
+        mention_col="surface", k=2,
+        max_gram_df=150, min_score_ppm=300_000,
+    )
+    return refreshed.select(
         poly_hash(F.col("surface")).alias("mention_id"),
         "surface",
         "entity_id",
@@ -1849,41 +1913,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deliberate ROTATION with two invariants (adopted r5, VERDICT r4
     item 1 — twice a new operator shipped without a driver row):
 
-      1. a NEW query DEBUTS inside the 50-row window (r7 debuts:
-         ann_int8_rescore, near_dup_keep_longest, neardup_degrees,
-         mention_cooccurrence, cooccur_triangles, stratified_sample,
-         pagerank_mentions, khop_mentions, triple_confidence,
-         entity_link, linked_triples;
-         the four r6 debuts stay in-window for a second consecutive
-         driver check, the r5-debut precedent);
-      2. a rotated-out entry returns within ONE round. r7 RETURNS all
-         13 rows r6 rotated out (filter_pushdown_scan, orders_by_month,
-         events_by_type, char_frequency, tokenize, cc_one_iteration,
-         cc_long_path, train_descent_softmax, token_accuracy, bio_spans,
+      1. a NEW query DEBUTS inside the 50-row window (r8 debut:
+         incremental_link; the eleven r7 debuts stay in-window for a
+         second consecutive driver check, the r5-debut precedent);
+      2. a rotated-out entry returns within ONE round. r8 RETURNS all
+         24 rows r7 rotated out (the nine relational queries +
+         argmax_decode, ngram_jaccard_adjacent, token_counts,
+         windowed_event_counts, range_join_dates, heavy_hitters_status,
+         salted_agg_events, simhash, doc_fingerprint,
+         running_user_totals, quality_features, winnow_fingerprint,
+         sessionize_events, approx_quantiles_orders, train_descent —
+         the schedule r7 wrote). Rotated out THIS round, due back in
+         r9 (every one multi-round driver-green with an in-window
+         family representative): the four r6 debuts (driver-checked
+         r6+r7; ivf/cc/near-dup/quantize family reps stay via
+         ivf_topk_full, cc_full, near_dup_keep_longest,
+         ann_int8_rescore), the 13 rows that returned in r7
+         (filter_pushdown_scan, orders_by_month, events_by_type,
+         char_frequency, tokenize, cc_one_iteration, cc_long_path,
+         train_descent_softmax, token_accuracy, bio_spans,
          running_window, approx_distinct_documents, embedding_topk —
-         the schedule r6 wrote). Rotated out THIS round, due back in
-         r8: the nine relational queries (driver-green r1-r4 and r6;
-         relational family reps stay via the returning trivial queries
-         + the topk/asof cousin asof_events_orders) plus ten
-         multi-round-green rows whose operator family keeps an
-         in-window representative (argmax_decode — ner_tagger_mentions/
-         token_accuracy/train_descent stay; ngram_jaccard_adjacent and
-         simhash — dedup_exact/winnow/minhash/lsh/near_dup_clusters/
-         near_dup_keep_longest stay; token_counts and doc_fingerprint —
-         lang_id/quality_features stay; windowed_event_counts,
-         range_join_dates and running_user_totals — sessionize_events/
-         running_window/asof_events_orders stay; heavy_hitters_status —
-         approx_distinct_documents stays;
-         salted_agg_events — salted_join_events stays; and, to make
-         room for the three late-r7 graph/triple debuts:
-         quality_features — lang_id/token_counts-family rep stays via
-         lang_id; winnow_fingerprint — dedup_exact/minhash_bands/
-         lsh_doc_pairs/near_dup_clusters stay; sessionize_events —
-         asof_events_orders/running_window stay; and, to make room for
-         the entity_link and linked_triples debuts:
-         approx_quantiles_orders — approx-family rep stays via
-         approx_distinct_documents; train_descent — training-family rep
-         stays via train_descent_softmax).
+         relational/cc/training/eval/window/approx/topk reps stay via
+         the nine returning relational queries, cc_full,
+         train_descent, eval_prf1, running_user_totals,
+         approx_quantiles_orders, ann_topk), and eight first-time
+         rotations: salted_join_events (salted_agg_events returns),
+         minhash_bands (lsh_doc_pairs stays), dedup_exact
+         (near_dup_keep_longest/simhash stay), lang_id
+         (quality_features/token_counts return), asof_events_orders
+         (range_join_dates/sessionize_events return),
+         extract_text_bytes and sentence_split (pipeline_triples
+         exercises both stages end-to-end), vocab_build
+         (ner_tagger_mentions/train_descent exercise the encode path).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1892,7 +1953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ner_tagger_mentions": q_ner_tagger_mentions,
         "ivf_topk_full": q_ivf_topk_full,
-        # --- r7 debuts (invariant 1) ---
+        # --- r8 debut (invariant 1) ---
+        "incremental_link": q_incremental_link,
+        # --- r7 debuts, kept for a second consecutive driver check ---
         "ann_int8_rescore": q_ann_int8_rescore,
         "near_dup_keep_longest": q_near_dup_keep_longest,
         "neardup_degrees": q_neardup_degrees,
@@ -1904,53 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_confidence": q_triple_confidence,
         "entity_link": q_entity_link,
         "linked_triples": q_linked_triples,
-        # --- r6 debuts, kept for a second consecutive driver check ---
-        "ivf_codebook_quality": q_ivf_codebook_quality,
-        "cc_delta": q_cc_delta,
-        "near_dup_clusters": q_near_dup_clusters,
-        "quantized_topk_recall": q_quantized_topk_recall,
         # --- returning after one round out (invariant 2) ---
-        "filter_pushdown_scan": q_filter_pushdown_scan,
-        "orders_by_month": q_orders_by_month,
-        "events_by_type": q_events_by_type,
-        "char_frequency": q_char_frequency,
-        "tokenize": q_tokenize,
-        "cc_one_iteration": q_cc_one_iteration,
-        "cc_long_path": q_cc_long_path,
-        "train_descent_softmax": q_train_descent_softmax,
-        "token_accuracy": q_token_accuracy,
-        "bio_spans": q_bio_spans,
-        "running_window": q_running_window,
-        "approx_distinct_documents": q_approx_distinct_documents,
-        "embedding_topk": q_embedding_topk,
-        # --- standing coverage ---
-        "stream_dedup_totals": q_stream_dedup_totals,
-        "salted_join_events": q_salted_join_events,
-        "cc_full": q_cc_full,
-        "anti_join_resume": q_anti_join_resume,
-        "sentence_split": q_sentence_split,
-        "vocab_build": q_vocab_build,
-        "eval_prf1": q_eval_prf1,
-        "triples_pattern": q_triples_pattern,
-        "minhash_bands": q_minhash_bands,
-        "lsh_doc_pairs": q_lsh_doc_pairs,
-        "media_ingest": q_media_ingest,
-        "entity_blocking": q_entity_blocking,
-        "dedup_exact": q_dedup_exact,
-        "ann_topk": q_ann_topk,
-        "extract_text_bytes": q_extract_text_bytes,
-        "embedding_near_dup": q_embedding_near_dup,
-        "pipeline_triples": q_pipeline_triples,
-        "pipeline_edges": q_pipeline_edges,
-        "lang_id": q_lang_id,
-        "asof_events_orders": q_asof_events_orders,
-        # --- below the driver's 50-row window this round: rotation pool
-        # only — every entry here is multi-round driver-green, due back
-        # inside the window in r8 (invariant 2); ALL are gated locally
-        # every round by tests/test_entry_contract.py ---
         "tpch_pricing_summary": q_tpch_pricing_summary,
-        "approx_quantiles_orders": q_approx_quantiles_orders,
-        "train_descent": q_train_descent,
         "broadcast_join_dims": q_broadcast_join_dims,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "cube_lineitem": q_cube_lineitem,
@@ -1972,6 +1990,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "winnow_fingerprint": q_winnow_fingerprint,
         "sessionize_events": q_sessionize_events,
+        "approx_quantiles_orders": q_approx_quantiles_orders,
+        "train_descent": q_train_descent,
+        # --- standing coverage ---
+        "stream_dedup_totals": q_stream_dedup_totals,
+        "cc_full": q_cc_full,
+        "anti_join_resume": q_anti_join_resume,
+        "eval_prf1": q_eval_prf1,
+        "triples_pattern": q_triples_pattern,
+        "lsh_doc_pairs": q_lsh_doc_pairs,
+        "media_ingest": q_media_ingest,
+        "entity_blocking": q_entity_blocking,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "pipeline_triples": q_pipeline_triples,
+        "pipeline_edges": q_pipeline_edges,
+        # --- below the driver's 50-row window this round: rotation pool
+        # only — every entry here is multi-round driver-green, due back
+        # inside the window in r9 (invariant 2); ALL are gated locally
+        # every round by tests/test_entry_contract.py ---
+        "ivf_codebook_quality": q_ivf_codebook_quality,
+        "cc_delta": q_cc_delta,
+        "near_dup_clusters": q_near_dup_clusters,
+        "quantized_topk_recall": q_quantized_topk_recall,
+        "filter_pushdown_scan": q_filter_pushdown_scan,
+        "orders_by_month": q_orders_by_month,
+        "events_by_type": q_events_by_type,
+        "char_frequency": q_char_frequency,
+        "tokenize": q_tokenize,
+        "cc_one_iteration": q_cc_one_iteration,
+        "cc_long_path": q_cc_long_path,
+        "train_descent_softmax": q_train_descent_softmax,
+        "token_accuracy": q_token_accuracy,
+        "bio_spans": q_bio_spans,
+        "running_window": q_running_window,
+        "approx_distinct_documents": q_approx_distinct_documents,
+        "embedding_topk": q_embedding_topk,
+        "salted_join_events": q_salted_join_events,
+        "minhash_bands": q_minhash_bands,
+        "dedup_exact": q_dedup_exact,
+        "lang_id": q_lang_id,
+        "asof_events_orders": q_asof_events_orders,
+        "extract_text_bytes": q_extract_text_bytes,
+        "sentence_split": q_sentence_split,
+        "vocab_build": q_vocab_build,
     }
 
 
@@ -3049,6 +3111,25 @@ prs AS (
 ),
 ent AS (SELECT {_poly_sql('name')} AS entity_id, name
         FROM (SELECT DISTINCT name FROM prs)),
+men AS (SELECT DISTINCT surface FROM prs),
+{_link_sql('men', 'ent', max_df=150, floor=300_000)}
+SELECT {_poly_sql('surface')} AS mention_id, surface, entity_id, name,
+       score_ppm, shared
+FROM links
+"""
+
+    # incremental_link: the oracle is the FULL relink of every surface
+    # against the NEW (support >= 2) KB — the Spark side computes it
+    # INCREMENTALLY (refresh_links from the old-corpus/old-KB priors),
+    # so the compare is the incremental == full identity itself.
+    fam_sqls["incremental_link"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+prs AS (
+  SELECT a.token || ' ' || b.token AS name, a.token || b.token AS surface
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+ent AS (SELECT {_poly_sql('name')} AS entity_id, name
+        FROM (SELECT name FROM prs GROUP BY name HAVING count(*) >= 2)),
 men AS (SELECT DISTINCT surface FROM prs),
 {_link_sql('men', 'ent', max_df=150, floor=300_000)}
 SELECT {_poly_sql('surface')} AS mention_id, surface, entity_id, name,

@@ -347,3 +347,126 @@ def test_string_entity_ids_rejected_up_front(spark):
     )
     with pytest.raises(ValueError, match="numeric"):
         link_mentions(men, ents)
+
+
+# ------------------------------------------------- incremental refresh
+def _link_rows(df):
+    return sorted(
+        (r["surface"], r["entity_id"], r["name"], r["score_ppm"], r["shared"])
+        for r in df.collect()
+    )
+
+
+def _check_refresh(spark, all_surfs, new_surfs, old_ents, new_ents,
+                   maxdf=None, thr=0):
+    """refresh_links over (prior links vs old KB) must equal a full
+    link_mentions relink of every surface against the new KB."""
+    from zh_ner_tf_spark.operators.linking import refresh_links
+
+    old_surfs = [s for s in all_surfs if s not in set(new_surfs)]
+    prior = link_mentions(
+        _mentions(spark, old_surfs), _entities(spark, old_ents),
+        max_gram_df=maxdf, min_score_ppm=thr,
+    )
+    stats = {}
+    got = refresh_links(
+        _mentions(spark, all_surfs),
+        _mentions(spark, new_surfs),
+        prior,
+        _entities(spark, old_ents),
+        _entities(spark, new_ents),
+        max_gram_df=maxdf,
+        min_score_ppm=thr,
+        stats_out=stats,
+    )
+    want = link_mentions(
+        _mentions(spark, all_surfs), _entities(spark, new_ents),
+        max_gram_df=maxdf, min_score_ppm=thr,
+    )
+    assert _link_rows(got) == _link_rows(want)
+    return stats
+
+
+def test_refresh_links_entity_added(spark):
+    """A new KB entity: the new surface links to it, and an OLD surface
+    sharing grams with the new name relinks too (its argmax may move)."""
+    stats = _check_refresh(
+        spark,
+        all_surfs=["alphacorp", "betainc", "gammallc"],
+        new_surfs=["betainc"],
+        old_ents=[(1, "alpha corp"), (3, "gamma llc")],
+        new_ents=[(1, "alpha corp"), (2, "beta inc"), (3, "gamma llc")],
+        thr=300_000,
+    )
+    assert stats["n_changed_names"] == 1
+
+
+def test_refresh_links_entity_removed_and_renamed(spark):
+    """No new surfaces at all: removals must DROP stale link rows and a
+    rename must rescore its gram-neighborhood — pure KB churn."""
+    stats = _check_refresh(
+        spark,
+        all_surfs=["alphacorp", "betainc", "gammallc", "zzzz"],
+        new_surfs=[],
+        old_ents=[(1, "alpha corp"), (2, "beta inc"), (3, "gamma llc")],
+        new_ents=[(1, "alpha corporation"), (3, "gamma llc")],
+        thr=200_000,
+    )
+    # the unrelated surface shares no gram with any changed name
+    assert stats["n_touched"] < 4
+
+
+def test_refresh_links_banned_gram_flip(spark):
+    """A KB addition pushes a gram's entity-df over max_gram_df: its
+    banned status flips, changing n_e for UNCHANGED entities containing
+    it — surfaces sharing that gram must relink even though none of
+    their candidates was added/removed/renamed."""
+    stats = _check_refresh(
+        spark,
+        all_surfs=["abz", "abq", "qqqq"],
+        new_surfs=[],
+        old_ents=[(1, "abc"), (2, "abd")],
+        new_ents=[(1, "abc"), (2, "abd"), (3, "abe")],
+        maxdf=2,
+    )
+    assert stats["n_flipped_grams"] >= 1
+    # both ab-surfaces touched; the unrelated one carried forward
+    assert stats["n_touched"] >= 2
+
+
+def test_refresh_links_untouched_carry_forward_is_cheap(spark):
+    """The O(touched) claim: a localized KB change leaves unrelated
+    surfaces out of the posting join entirely."""
+    surfs = [f"zz{i}zz" for i in range(10)] + ["alphacorp"]
+    stats = _check_refresh(
+        spark,
+        all_surfs=surfs,
+        new_surfs=[],
+        old_ents=[(1, "alpha corp")],
+        new_ents=[(1, "alpha corps")],
+        thr=100_000,
+    )
+    assert stats["n_touched"] == 1  # only the alpha surface
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    surfs=st.lists(_surf, min_size=1, max_size=8, unique=True),
+    n_new=st.integers(0, 3),
+    old_ents=st.lists(
+        st.tuples(st.integers(1, 5), _surf), min_size=0, max_size=5
+    ),
+    new_ents=st.lists(
+        st.tuples(st.integers(1, 5), _surf), min_size=0, max_size=5
+    ),
+    maxdf=st.one_of(st.none(), st.integers(1, 3)),
+    thr=st.sampled_from([0, 300_000]),
+)
+def test_property_refresh_links_equals_full_relink(
+    spark, surfs, n_new, old_ents, new_ents, maxdf, thr
+):
+    """For ANY old/new KB pair (adds, removes, renames, id collisions,
+    df flips in either direction, empty sides) and any corpus split,
+    the incremental refresh equals the full relink exactly."""
+    new = surfs[: min(n_new, len(surfs))]
+    _check_refresh(spark, surfs, new, old_ents, new_ents, maxdf, thr)

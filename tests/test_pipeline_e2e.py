@@ -815,3 +815,172 @@ def test_gen_pages_variant_slice_contract():
     # deterministic: same args -> same rows
     again = gen_pages(300, seed=43, variant_frac=0.25, start=4500)
     assert [r["html"] for r in again] == [r["html"] for r in var]
+
+
+def test_incremental_link_matches_full_relink(spark, tmp_path):
+    """Incremental alias maintenance (VERDICT r7 item 3): with
+    ``maintain_links``, every increment publishes a links state table —
+    each distinct corpus surface resolved against the just-published
+    canonical space. Gates: (1) the first increment bootstraps (full
+    relink), the second runs the DELTA refresh; (2) after EACH
+    increment the state table equals the read-only
+    link_surfaces_to_graph full relink over all surfaces — the
+    incremental == full identity, end to end through the real publish
+    path; (3) the delta refresh's posting join saw fewer surfaces than
+    the corpus has (the O(touched) cost evidence); (4) the existing
+    delta-tail equality gates are untouched (run in the same call)."""
+    import os
+
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import (
+        link_surfaces_to_graph,
+        run_incremental,
+        run_pipeline,
+    )
+    from zh_ner_tf_spark.sources.sinks import read_snapshot, snapshot_append
+    from pyspark.sql import functions as F
+
+    # the second slice carries variant surfaces (novel strings the first
+    # 70 pages never produced) so the delta refresh has real new
+    # surfaces AND real KB churn to chew on — a no-change increment
+    # would make the O(touched) assertion below vacuous
+    rows = gen_pages(70, seed=11) + gen_pages(
+        50, seed=23, variant_frac=0.3, start=70
+    )
+    word2id = {"<PAD>": 0}
+    for row in rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    weights = planted_weights(word2id)
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            schema=pages_schema(),
+        )
+
+    ptable = str(tmp_path / "pages")
+    groot = str(tmp_path / "graph")
+    ml = {"min_score_ppm": 300_000, "max_gram_df": 50}
+    lcols = ["surface", "canon_id", "canon_name", "score_ppm", "shared"]
+
+    def frozen(df):
+        return sorted(tuple(r[c] for c in lcols) for r in df.select(*lcols).collect())
+
+    def full_relink():
+        surfs = (
+            read_snapshot(spark, os.path.join(groot, "state", "surfaces"))
+            .select(F.col("mention").alias("surface"))
+            .distinct()
+        )
+        return link_surfaces_to_graph(
+            spark, groot, surfs,
+            min_score_ppm=ml["min_score_ppm"],
+            max_gram_df=ml["max_gram_df"],
+        )
+
+    snapshot_append(df_of(rows[:70]), ptable)
+    r1 = run_incremental(spark, ptable, groot, weights, word2id,
+                         maintain_links=ml, collect_tail_stats=True)
+    assert r1["link_stats"]["link_mode"] == "bootstrap"
+    links1 = read_snapshot(spark, os.path.join(groot, "state", "links"))
+    assert frozen(links1) == frozen(full_relink())
+    n1 = len(frozen(links1))
+    assert n1 > 0  # non-vacuous: the fixture corpus actually links
+
+    snapshot_append(df_of(rows[70:]), ptable)
+    r2 = run_incremental(spark, ptable, groot, weights, word2id,
+                         maintain_links=ml, collect_tail_stats=True)
+    assert r2["link_stats"]["link_mode"] == "delta"
+    links2 = read_snapshot(spark, os.path.join(groot, "state", "links"))
+    assert frozen(links2) == frozen(full_relink())
+    # cost evidence: the posting join ran over touched surfaces only
+    n_surfaces = r2["tail_stats"]["distinct_surfaces"]
+    assert 0 < r2["link_stats"]["n_touched"] < n_surfaces
+
+    # the graph gates this feature must not disturb: published
+    # nodes/edges still equal the full rebuild
+    full = run_pipeline(spark, df_of(rows), weights, word2id, lang="zh")
+
+    def gfrozen(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+    ncols = ["canon_id", "surface", "etype", "freq"]
+    assert gfrozen(read_snapshot(spark, os.path.join(groot, "nodes")), ncols) \
+        == gfrozen(full["nodes"], ncols)
+
+
+def test_incremental_link_bootstraps_on_stale_or_changed_params(spark, tmp_path):
+    """Link-state trust rules: an increment run WITHOUT maintain_links
+    leaves the link state stale (link_snapshot cursor ≠ last), so the
+    next maintained increment must BOOTSTRAP, not delta-merge into
+    stale links; likewise a changed link param set. Equality with the
+    full relink holds either way."""
+    import os
+
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import link_surfaces_to_graph, run_incremental
+    from zh_ner_tf_spark.sources.sinks import read_snapshot, snapshot_append
+    from pyspark.sql import functions as F
+
+    rows = gen_pages(90, seed=13)
+    word2id = {"<PAD>": 0}
+    for row in rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    weights = planted_weights(word2id)
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            schema=pages_schema(),
+        )
+
+    ptable = str(tmp_path / "pages")
+    groot = str(tmp_path / "graph")
+    ml = {"min_score_ppm": 300_000}
+
+    snapshot_append(df_of(rows[:30]), ptable)
+    r1 = run_incremental(spark, ptable, groot, weights, word2id,
+                         maintain_links=ml)
+    assert r1["link_stats"]["link_mode"] == "bootstrap"
+
+    # an unmaintained increment makes the link state stale
+    snapshot_append(df_of(rows[30:60]), ptable)
+    r2 = run_incremental(spark, ptable, groot, weights, word2id)
+    assert r2["link_stats"] is None
+
+    snapshot_append(df_of(rows[60:]), ptable)
+    r3 = run_incremental(spark, ptable, groot, weights, word2id,
+                         maintain_links=ml)
+    assert r3["link_stats"]["link_mode"] == "bootstrap"  # stale -> rebuild
+
+    # param change on the NEXT head also forces a bootstrap; with an
+    # unchanged head the call is a no-op
+    r4 = run_incremental(spark, ptable, groot, weights, word2id,
+                         maintain_links={"min_score_ppm": 500_000})
+    assert r4["up_to_date"]
+
+    links = read_snapshot(spark, os.path.join(groot, "state", "links"))
+    surfs = (
+        read_snapshot(spark, os.path.join(groot, "state", "surfaces"))
+        .select(F.col("mention").alias("surface"))
+        .distinct()
+    )
+    want = link_surfaces_to_graph(spark, groot, surfs, min_score_ppm=300_000)
+    lcols = ["surface", "canon_id", "canon_name", "score_ppm", "shared"]
+
+    def frozen(df):
+        return sorted(tuple(r[c] for c in lcols) for r in df.select(*lcols).collect())
+
+    assert frozen(links) == frozen(want)

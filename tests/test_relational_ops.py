@@ -301,3 +301,47 @@ def test_asof_join_matches_pandas_merge_asof_on_random_data(spark):
     # NULL-val matched rows: pandas can't distinguish "no match" from a
     # matched NULL payload in the val column alone — rts_matched does.
     assert got == want
+
+
+def test_conlleval_prf1_fused_equals_two_frame(spark):
+    """The single-sort fused scorer (conlleval_prf1_fused) must equal
+    the two-frame operator row-for-row — including the BIO edge shapes
+    that stress the boundary expression: I- starts without B-, type
+    changes mid-run, O gaps, spans at sequence edges, and docs whose
+    gold/pred disagree on span EXTENT but not start."""
+    from zh_ner_tf_spark.operators.evaluation import conlleval_prf1_fused
+
+    corpus = gen_ner_corpus(80, seed=9)
+    gold = [tags for _, tags in corpus]
+    pred = []
+    for i, tags in enumerate(gold):
+        p = list(tags)
+        if i % 2 == 0 and len(p) > 1:
+            p = p[1:] + ["O"]            # shift: extent mismatches
+        if i % 5 == 0:
+            p = [t.replace("B-", "I-") for t in p]   # I- starts
+        p = [("O" if (j % 6 == 4) else t) for j, t in enumerate(p)]
+        pred.append(p)
+
+    rows_g, rows_p, rows_b = [], [], []
+    for i, (chars, tags) in enumerate(corpus):
+        for pos, (ch, t) in enumerate(zip(chars, tags)):
+            rows_g.append((i, pos, t, ch))
+            rows_p.append((i, pos, pred[i][pos], ch))
+            rows_b.append((i, pos, t, pred[i][pos]))
+    gdf = spark.createDataFrame(
+        pd.DataFrame(rows_g, columns=["doc_id", "pos", "tag", "ch"])
+    )
+    pdf = spark.createDataFrame(
+        pd.DataFrame(rows_p, columns=["doc_id", "pos", "tag", "ch"])
+    )
+    bdf = spark.createDataFrame(
+        pd.DataFrame(rows_b, columns=["doc_id", "pos", "gold_tag", "pred_tag"])
+    )
+    want = sorted(
+        map(tuple, conlleval_prf1(gdf, pdf, ["doc_id"]).collect())
+    )
+    got = sorted(
+        map(tuple, conlleval_prf1_fused(bdf, ["doc_id"]).collect())
+    )
+    assert got == want and len(got) >= 4

@@ -81,6 +81,14 @@ def conlleval_prf1(
     """
     gspans = extract_spans(gold_tagged, id_cols, pos_col, tag_col, token_col)
     pspans = extract_spans(pred_tagged, id_cols, pos_col, tag_col, token_col)
+    return _score_spans(gspans, pspans, id_cols)
+
+
+def _score_spans(
+    gspans: DataFrame, pspans: DataFrame, id_cols: list[str]
+) -> DataFrame:
+    """Shared scoring tail: gold/pred (id..., etype, begin, end) span
+    frames -> per-type + overall P/R/F1 rows."""
     keys = [*id_cols, "etype", "begin", "end"]
     # guessed + correct from ONE pass over pspans: mark each predicted
     # span with a gold-match flag (spans are unique per (id, begin, end,
@@ -95,9 +103,16 @@ def conlleval_prf1(
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("correct"),
     )
     gold_n = gspans.groupBy("etype").agg(F.count(F.lit(1)).alias("gold"))
+    # per_type is one row per etype but its lineage is the whole span
+    # pipeline; without the (lazy) checkpoint the union + overall rollup
+    # below would run that pipeline twice (VERDICT r7 item 7 — measured
+    # ~8% off the driver row; checkpointing the big span frames instead
+    # measured SLOWER: ReuseExchange already dedupes their repeated
+    # subtrees, so materializing them only adds copy cost).
     per_type = (
         pred_agg.join(gold_n, "etype", "full")
         .na.fill(0, ["guessed", "gold", "correct"])
+        .localCheckpoint(eager=False)
     )
     overall = per_type.agg(
         F.lit("__overall__").alias("etype"),
@@ -119,4 +134,104 @@ def conlleval_prf1(
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
+    )
+
+
+def conlleval_prf1_fused(
+    tagged_both: DataFrame,
+    id_cols: list[str],
+    pos_col: str = "pos",
+    gold_col: str = "gold_tag",
+    pred_col: str = "pred_tag",
+) -> DataFrame:
+    """conlleval_prf1 over an ALIGNED frame carrying both tag columns
+    (id..., pos, gold_tag, pred_tag) — same output, one corpus pass.
+
+    The two-frame operator sorts the corpus twice (one window per tag
+    column). Here both sides' lag/boundary/span-id expressions share
+    ONE window spec, so Spark evaluates them in a single Window
+    operator over a single sort; the per-side span rows then stack
+    through an explode into one groupBy. The eval scorer also never
+    needs the mention STRING, so the collect_list + array_sort +
+    concat_ws per span that extract_spans pays is skipped entirely —
+    together ~2x less work than two extract_spans passes. Value
+    equality with conlleval_prf1 is pinned by pytest and the driver's
+    eval_prf1 row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*id_cols).orderBy(pos_col)
+
+    def side_exprs(tag_col: str):
+        tag = F.col(tag_col)
+        is_ent = tag.startswith("B-") | tag.startswith("I-")
+        etype = F.substring(tag, 3, 1000)
+        prev_tag = F.lag(tag_col).over(w)
+        prev_is_ent = prev_tag.startswith("B-") | prev_tag.startswith("I-")
+        prev_type = F.substring(prev_tag, 3, 1000)
+        boundary = is_ent & (
+            tag.startswith("B-")
+            | prev_tag.isNull()
+            | ~prev_is_ent
+            | (prev_type != etype)
+        )
+        span_id = F.sum(boundary.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return is_ent, etype, span_id
+
+    g_ent, g_type, g_span = side_exprs(gold_col)
+    p_ent, p_type, p_span = side_exprs(pred_col)
+    # window expressions must resolve in their own projection — a
+    # generator (explode) can't host them — so stage all six in one
+    # select: same window spec => ONE Window operator, one sort
+    staged = tagged_both.select(
+        *id_cols,
+        F.col(pos_col).alias("pos"),
+        g_ent.alias("_g_ent"),
+        g_type.alias("_g_type"),
+        g_span.alias("_g_span"),
+        p_ent.alias("_p_ent"),
+        p_type.alias("_p_type"),
+        p_span.alias("_p_span"),
+    )
+    stacked = (
+        staged.select(
+            *id_cols,
+            "pos",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("g").alias("side"),
+                        F.col("_g_ent").alias("is_ent"),
+                        F.col("_g_type").alias("etype"),
+                        F.col("_g_span").alias("span_id"),
+                    ),
+                    F.struct(
+                        F.lit("p").alias("side"),
+                        F.col("_p_ent").alias("is_ent"),
+                        F.col("_p_type").alias("etype"),
+                        F.col("_p_span").alias("span_id"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .filter(F.col("s.is_ent"))
+        .select(*id_cols, "pos", "s.side", "s.etype", "s.span_id")
+    )
+    spans = (
+        stacked.groupBy(*id_cols, "side", "span_id")
+        .agg(
+            F.first("etype").alias("etype"),
+            F.min("pos").cast("int").alias("begin"),
+            F.max("pos").cast("int").alias("end"),
+        )
+        .drop("span_id")
+        # both scoring branches read this; lazy checkpoint keeps the
+        # single window+groupBy from running twice
+        .localCheckpoint(eager=False)
+    )
+    return _score_spans(
+        spans.filter(F.col("side") == "g").drop("side"),
+        spans.filter(F.col("side") == "p").drop("side"),
+        id_cols,
     )

@@ -184,3 +184,155 @@ def link_mentions(
         )
     )
     return best
+
+
+def refresh_links(
+    surfaces: DataFrame,
+    new_surfaces: DataFrame,
+    prior_links: DataFrame,
+    prior_entities: DataFrame,
+    entities: DataFrame,
+    mention_col: str = "surface",
+    entity_id_col: str = "entity_id",
+    entity_name_col: str = "name",
+    k: int = 2,
+    max_gram_df: int | None = None,
+    min_score_ppm: int = 0,
+    broadcast_entities: bool = True,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Incrementally refresh a full link table after the canonical
+    entity space changed — EXACTLY equal to relinking every surface
+    from scratch, at O(touched) posting-join cost (VERDICT r7 item 3:
+    the alias-refresh stage run_incremental's delta tail needs).
+
+    Identity this rests on: link_mentions is PER-MENTION independent —
+    a mention's result depends only on (a) its own grams, (b) the
+    entity-side gram-df banned set, and (c) the candidate entities
+    sharing an unbanned gram with it (their names and n_e). So a
+    stored link row stays valid unless one of those inputs moved, and
+    the set of surfaces any KB change can affect is computable from
+    the KB DIFF alone:
+
+      changed rows   (entity_id, name) pairs present in only one of
+                     prior_entities / entities — adds, removes,
+                     renames, cluster merges, multi-name shifts;
+      flipped grams  grams whose banned status (df > max_gram_df)
+                     differs between the two censuses — a flip changes
+                     pruning (and n_e/n_m) for everything containing
+                     the gram, so names containing a flipped gram
+                     join the changed set;
+      touch grams    every gram of every changed/flip-affected name
+                     (old AND new side — a removed candidate could
+                     have been the argmax), plus the flipped grams;
+      touched        ``new_surfaces`` plus every surface sharing a
+                     touch gram.
+
+    An untouched surface shares no gram with any changed name, so its
+    candidate set, every candidate's n_e, its own n_m, and every
+    pairwise score are unchanged — its stored row is carried forward
+    verbatim; touched surfaces relink against the NEW entity table
+    (including surfaces that now score below ``min_score_ppm``: their
+    stale rows drop because carry-forward anti-joins on touched).
+    Equality with the full relink is pinned by pytest (constructed
+    adds/removes/renames/df-flips + hypothesis sweep) and the
+    ``incremental_link`` driver row.
+
+    Scale shape (100 TB): the KB diff, banned censuses and touch-gram
+    set are KB-churn-sized and broadcast; the only corpus-sized work is
+    one gram projection of the distinct-surface set filtered map-side
+    against the broadcast touch grams (no corpus shuffle) and the
+    output-sized anti-join/union — the posting-list join, the stage
+    that dominates a full relink, runs over touched surfaces only.
+
+    ``surfaces``/``new_surfaces``: distinct surface strings (all, and
+    the ones new since ``prior_links`` was computed). ``prior_links``
+    must be the link_mentions output (same param set) against
+    ``prior_entities``. Returns the refreshed full link table in
+    link_mentions' output shape."""
+    ents_old = prior_entities.select(entity_id_col, entity_name_col).distinct()
+    ents_new = entities.select(entity_id_col, entity_name_col).distinct()
+
+    changed_names = (
+        ents_old.subtract(ents_new)
+        .select(entity_name_col)
+        .unionByName(ents_new.subtract(ents_old).select(entity_name_col))
+        .distinct()
+    )
+
+    flipped = None
+    if max_gram_df is not None:
+
+        def _banned(ents: DataFrame) -> DataFrame:
+            eg = gram_rows(
+                ents, [entity_id_col, entity_name_col], entity_name_col, k
+            )
+            return (
+                eg.groupBy("_gram")
+                .agg(F.count("*").alias("_c"))
+                .filter(F.col("_c") > max_gram_df)
+                .select("_gram")
+            )
+
+        b_old, b_new = _banned(ents_old), _banned(ents_new)
+        flipped = (
+            b_old.subtract(b_new).unionByName(b_new.subtract(b_old))
+        )
+        # names whose own gram set crosses a flipped gram: their n_e
+        # (and their candidates' scores) changed even if the name didn't
+        all_names = (
+            ents_old.select(entity_name_col)
+            .unionByName(ents_new.select(entity_name_col))
+            .distinct()
+        )
+        affected = (
+            gram_rows(all_names, [entity_name_col], entity_name_col, k)
+            .join(F.broadcast(flipped), "_gram")
+            .select(entity_name_col)
+            .distinct()
+        )
+        changed_names = changed_names.unionByName(affected).distinct()
+
+    touch = gram_rows(
+        changed_names, [entity_name_col], entity_name_col, k
+    ).select("_gram")
+    if flipped is not None:
+        touch = touch.unionByName(flipped)
+    touch = touch.distinct()
+
+    all_s = surfaces.select(mention_col).distinct()
+    touched_by_gram = (
+        gram_rows(all_s, [mention_col], mention_col, k)
+        .join(F.broadcast(touch), "_gram")
+        .select(mention_col)
+        .distinct()
+    )
+    touched = (
+        new_surfaces.select(mention_col)
+        .unionByName(touched_by_gram)
+        .distinct()
+        # consumed 3x below (2x inside link_mentions + the anti-join)
+        .localCheckpoint()
+    )
+    if stats_out is not None:
+        # cost evidence for the O(touched) claim — counts on the small
+        # checkpointed frames only (the e2e test pins these)
+        stats_out["n_touched"] = touched.count()
+        stats_out["n_changed_names"] = changed_names.count()
+        stats_out["n_flipped_grams"] = (
+            flipped.count() if flipped is not None else 0
+        )
+
+    relinked = link_mentions(
+        touched,
+        ents_new,
+        mention_col=mention_col,
+        entity_id_col=entity_id_col,
+        entity_name_col=entity_name_col,
+        k=k,
+        max_gram_df=max_gram_df,
+        min_score_ppm=min_score_ppm,
+        broadcast_entities=broadcast_entities,
+    )
+    carried = prior_links.join(touched, mention_col, "left_anti")
+    return carried.unionByName(relinked)
