@@ -683,7 +683,7 @@ def _pair_jaccard_ok(ndf: DataFrame, nd8: DataFrame) -> DataFrame:
 def q_ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-rescored ANN gate (r7 debut; VERDICT r6 item 2): the
     ann_topk / embedding_near_dups hot paths can carry corpus vectors
-    through their candidate stages as int8 code arrays (~8x fewer
+    through their candidate stages as int8 code arrays (4-8x fewer
     bytes on the exchanges that dominate at crawl scale). Because
     cosine is scale-invariant, the rescore runs DIRECTLY on the raw
     int8 codes — the per-row quantization scale is neither carried nor

@@ -473,7 +473,8 @@ def embedding_near_dups(
 
     ``int8_rescore=True``: both vector-carrying joins (src side and dst
     side of the rescore) move int8 codes instead of the float vectors —
-    ~8x fewer shuffle bytes on the two exchanges that dominate this
+    4-8x fewer shuffle bytes (4x for float32-stored vectors, 8x for
+    float64; bench-measured) on the two exchanges that dominate this
     operator at crawl scale — and the cosine runs directly on the code
     arrays: cosine is scale-invariant (cos(s_a*qa, s_b*qb) ==
     cos(qa, qb) for positive scales; a scale-0 vector has all-zero

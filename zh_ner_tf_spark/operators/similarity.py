@@ -733,7 +733,8 @@ def ann_candidate_pairs(
     computed in the same scan projection that computes the bands)
     through the corpus band rows INSTEAD of the float vector — the
     candidate rows that feed the (qid, cid) dedup shuffle then move
-    ~8x fewer vector bytes (the dominant exchange at crawl scale: Q x
+    4-8x fewer vector bytes (4x float32 / 8x float64 storage; the
+    dominant exchange at crawl scale: Q x
     density rows each dragging a corpus vector; the corpus->join side
     itself never shuffles because the query bands are broadcast). The
     per-row scale is NOT carried: cosine is scale-invariant
@@ -822,7 +823,7 @@ def ann_topk(
     the exact single-bucket behavior (the oracle-replicated family).
 
     ``int8_rescore=True`` moves corpus vectors through the candidate
-    stage as int8 codes (~8x fewer bytes in the (qid, cid) dedup
+    stage as int8 codes (4-8x fewer bytes in the (qid, cid) dedup
     exchange — the one shuffle that carries vectors) and rescores
     directly on the code arrays: cosine is scale-invariant, so the
     per-row scale is neither carried nor applied (and integer-valued
