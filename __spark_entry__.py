@@ -957,6 +957,31 @@ def q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adjacent_pairs(
+    spark: SparkSession, sf_dir: str, with_doc_id: bool = False
+) -> DataFrame:
+    """The linking fixture both entity_link and incremental_link build
+    on (ONE definition — the two rows must agree with the shared
+    _TOKS_SQL oracle CTEs): per adjacent token pair, the canonical
+    bigram ``name`` ("new york") and its run-together mention
+    ``surface`` ("newyork"). localCheckpointed — every consumer
+    traverses it several times (link_mentions: mentions 2x, entities
+    3x)."""
+    toks = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = ["doc_id"] if with_doc_id else []
+    return (
+        toks.withColumn("_nxt", F.lead("token").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            *cols,
+            F.concat_ws(" ", "token", "_nxt").alias("name"),
+            F.concat("token", "_nxt").alias("surface"),
+        )
+        .localCheckpoint()
+    )
+
+
 def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity linking (r7 debut): the north_star stage between NER and
     canonicalization. Canonical entities are the distinct adjacent-token
@@ -973,20 +998,7 @@ def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.functions.hashing import poly_hash
     from zh_ner_tf_spark.operators.linking import link_mentions
 
-    toks = _tokens(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    # link_mentions traverses its inputs more than once (mentions 2x,
-    # entities 3x) — checkpoint the tokenize->window derivation so the
-    # corpus scan runs once (graph_stats precedent).
-    pairs = (
-        toks.withColumn("_nxt", F.lead("token").over(w))
-        .filter(F.col("_nxt").isNotNull())
-        .select(
-            F.concat_ws(" ", "token", "_nxt").alias("name"),
-            F.concat("token", "_nxt").alias("surface"),
-        )
-        .localCheckpoint()
-    )
+    pairs = _adjacent_pairs(spark, sf_dir)
     entities = pairs.select("name").distinct().select(
         poly_hash(F.col("name")).alias("entity_id"), "name"
     )
@@ -1027,18 +1039,7 @@ def q_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.functions.hashing import poly_hash
     from zh_ner_tf_spark.operators.linking import link_mentions, refresh_links
 
-    toks = _tokens(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        toks.withColumn("_nxt", F.lead("token").over(w))
-        .filter(F.col("_nxt").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "token", "_nxt").alias("name"),
-            F.concat("token", "_nxt").alias("surface"),
-        )
-        .localCheckpoint()
-    )
+    pairs = _adjacent_pairs(spark, sf_dir, with_doc_id=True)
     support = pairs.groupBy("name").agg(F.count(F.lit(1)).alias("c"))
     kb_new = support.filter(F.col("c") >= 2).select(
         poly_hash(F.col("name")).alias("entity_id"), "name"

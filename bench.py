@@ -975,10 +975,18 @@ def main() -> None:
         }
         eff_pipe, eff_tag = gate_pipe, gate_tag
         # the closing-gate disposition the record must carry (item 5):
-        # exactly one of raw_ge_gate / ceiling_below_gate / unmet
+        # exactly one of raw_ge_gate / ceiling_below_gate / unmet.
+        # UNROUNDED ratios, the exact expression the pursue loop gated
+        # on — the 3-dp display lists round 0.7996 up to 0.800 and
+        # would record a gate the loop itself judged unmet (review
+        # finding r8).
         raw_clean_ok = any(
-            c and p >= RAW_GATE and t >= RAW_GATE
-            for c, p, t in zip(clean_flags, pipe_rep_effs, tag_rep_effs)
+            c
+            and (runs[32]["p"][i]["triples_per_sec"]
+                 / runs[8]["p"][i]["triples_per_sec"] / 4) >= RAW_GATE
+            and (runs[32]["t"][i]["chars_per_sec"]
+                 / runs[8]["t"][i]["chars_per_sec"] / 4) >= RAW_GATE
+            for i, c in enumerate(clean_flags)
         )
         ceiling = gate_ceiling if gate_ceiling is not None else cpu_ceiling()
         cg_raw = min(ceiling.get("gemm_ceiling_efficiency", 0.0), 1.0)
@@ -1157,15 +1165,29 @@ def _fit_stdout_budget(out: dict) -> dict:
     """Drop optional summary blocks lowest-value-first until the
     one-line JSON fits the driver's stdout tail capture. A dropped
     block survives in BENCH/full_result.json; `dropped` names what was
-    cut so a trimmed record is visibly trimmed, not silently short."""
-    dropped = []
+    cut so a trimmed record is visibly trimmed, not silently short.
+    The `dropped` marker is written INTO the dict before each size
+    check so its own bytes count against the budget (appending it
+    after the check could push the line back over — review finding
+    r8); if every optional block is gone and the line still overflows
+    (the per-rep lists grow with GATE_ATTEMPTS), the scaling block's
+    per_rep_efficiency detail is cut last — the floor after that is
+    fixed-size."""
+    dropped: list = []
     for key in _STDOUT_DROP_ORDER:
         if len(json.dumps(out)) <= _STDOUT_BUDGET:
             break
         if key in out:
             del out[key]
             dropped.append(key)
-    if dropped:
+            out["dropped"] = dropped
+    if (
+        len(json.dumps(out)) > _STDOUT_BUDGET
+        and isinstance(out.get("scaling"), dict)
+        and "per_rep_efficiency" in out["scaling"]
+    ):
+        del out["scaling"]["per_rep_efficiency"]
+        dropped.append("scaling.per_rep_efficiency")
         out["dropped"] = dropped
     return out
 

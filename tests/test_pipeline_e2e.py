@@ -984,3 +984,93 @@ def test_incremental_link_bootstraps_on_stale_or_changed_params(spark, tmp_path)
         return sorted(tuple(r[c] for c in lcols) for r in df.select(*lcols).collect())
 
     assert frozen(links) == frozen(want)
+
+
+def test_replay_with_graph_bootstrap_also_bootstraps_links(spark, tmp_path):
+    """Review finding r8: an interrupted MAINTAINED increment whose
+    replay triggers a graph-state rebuild (changed blocking family)
+    must bootstrap the LINK state too — the pinned intent's
+    link_bootstrap=False predates the replay-time decision, and a delta
+    refresh would diff new_strings against the wrong (just-republished)
+    surfaces snapshot, silently never relinking the increment's new
+    surfaces. Gate: after the tampered replay, the links state equals
+    the full relink."""
+    import json
+    import os
+
+    from zh_ner_tf_spark.fixtures.corpus import planted_weights
+    from zh_ner_tf_spark.oracle import normalize_token
+    from zh_ner_tf_spark.pipeline import link_surfaces_to_graph, run_incremental
+    from zh_ner_tf_spark.sources.sinks import (
+        committed_snapshots,
+        read_snapshot,
+        snapshot_append,
+    )
+    from pyspark.sql import functions as F
+
+    rows = gen_pages(40, seed=5) + gen_pages(
+        30, seed=6, variant_frac=0.4, start=40
+    )
+    word2id = {"<PAD>": 0}
+    for row in rows:
+        text = row["text"] if row["text"] is not None else oracle_extract_text(row["html"])
+        for ch in text:
+            word2id.setdefault(normalize_token(ch), len(word2id))
+    for t in ("<NUM>", "<ENG>", "<UNK>"):
+        word2id.setdefault(t, len(word2id))
+    weights = planted_weights(word2id)
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            schema=pages_schema(),
+        )
+
+    ptable = str(tmp_path / "pages")
+    groot = str(tmp_path / "graph")
+    ml = {"min_score_ppm": 300_000}
+    snapshot_append(df_of(rows[:40]), ptable)                   # snap 1
+    run_incremental(spark, ptable, groot, weights, word2id,
+                    maintain_links=ml)
+    snapshot_append(df_of(rows[40:]), ptable)                   # snap 2
+
+    # simulate: the 1->2 increment wrote its intent (link_bootstrap
+    # False, live sids pinned) then crashed; the blocking family
+    # changed before the replay -> the replay rebuilds the graph state
+    state_heads = {
+        t: committed_snapshots(os.path.join(groot, "state", t))[-1]
+        for t in ("surfaces", "string_components", "triple_aggs")
+    }
+    link_heads = {
+        t: committed_snapshots(os.path.join(groot, "state", t))[-1]
+        for t in ("links", "link_reps")
+    }
+    with open(os.path.join(groot, "_inflight.json"), "w") as f:
+        json.dump({"from": 1, "to": 2, "state_sids": state_heads,
+                   "bootstrap": False,
+                   "state_params": {"shingle_k": 99},
+                   "link_sids": link_heads,
+                   "link_bootstrap": False,
+                   "link_params": {"etypes": None,
+                                   "min_score_ppm": 300_000,
+                                   "max_gram_df": None}}, f)
+    replay = run_incremental(spark, ptable, groot, weights, word2id,
+                             maintain_links=ml, collect_tail_stats=True)
+    assert replay["tail_stats"].get("bootstrap") is True
+    # the fix: the link tail must NOT trust the pre-crash pin
+    assert replay["link_stats"]["link_mode"] == "bootstrap"
+
+    links = read_snapshot(spark, os.path.join(groot, "state", "links"))
+    surfs = (
+        read_snapshot(spark, os.path.join(groot, "state", "surfaces"))
+        .select(F.col("mention").alias("surface"))
+        .distinct()
+    )
+    want = link_surfaces_to_graph(spark, groot, surfs, min_score_ppm=300_000)
+    lcols = ["surface", "canon_id", "canon_name", "score_ppm", "shared"]
+
+    def frozen(df):
+        return sorted(tuple(r[c] for c in lcols) for r in df.select(*lcols).collect())
+
+    assert frozen(links) == frozen(want)

@@ -65,6 +65,21 @@ def gram_rows(df: DataFrame, key_cols: list[str], text_col: str, k: int) -> Data
     )
 
 
+def banned_grams(eg: DataFrame, max_gram_df: int) -> DataFrame:
+    """The hot-gram ban census over an entity-side gram_rows frame:
+    grams appearing in MORE than ``max_gram_df`` entity rows. The ONE
+    definition both link_mentions (pruning) and refresh_links (flip
+    detection) use — the incremental==full identity depends on the
+    refresh computing EXACTLY the census the linker prunes with, so the
+    rule must not fork (review finding r8)."""
+    return (
+        eg.groupBy("_gram")
+        .agg(F.count("*").alias("_n_e"))
+        .filter(F.col("_n_e") > max_gram_df)
+        .select("_gram")
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     entities: DataFrame,
@@ -127,12 +142,7 @@ def link_mentions(
     eg = gram_rows(ents, [entity_id_col, entity_name_col], entity_name_col, k)
 
     if max_gram_df is not None:
-        banned = (
-            eg.groupBy("_gram")
-            .agg(F.count("*").alias("_n_e"))
-            .filter(F.col("_n_e") > max_gram_df)
-            .select("_gram")
-        )
+        banned = banned_grams(eg, max_gram_df)
         # entity-side census: tiny by construction (only hot grams) ->
         # broadcast both anti-joins; neither big side shuffles here.
         mg = mg.join(F.broadcast(banned), "_gram", "left_anti")
@@ -264,14 +274,14 @@ def refresh_links(
     if max_gram_df is not None:
 
         def _banned(ents: DataFrame) -> DataFrame:
-            eg = gram_rows(
-                ents, [entity_id_col, entity_name_col], entity_name_col, k
-            )
-            return (
-                eg.groupBy("_gram")
-                .agg(F.count("*").alias("_c"))
-                .filter(F.col("_c") > max_gram_df)
-                .select("_gram")
+            # the linker's own census rule (banned_grams) — forked
+            # definitions would silently desynchronize flip detection
+            return banned_grams(
+                gram_rows(
+                    ents, [entity_id_col, entity_name_col],
+                    entity_name_col, k,
+                ),
+                max_gram_df,
             )
 
         b_old, b_new = _banned(ents_old), _banned(ents_new)
@@ -292,6 +302,14 @@ def refresh_links(
             .distinct()
         )
         changed_names = changed_names.unionByName(affected).distinct()
+
+    if stats_out is not None:
+        # KB-churn-sized; checkpoint before the counts below AND the
+        # touch-gram derivation so the stats path doesn't re-run the
+        # full-KB censuses per count (review finding r8)
+        changed_names = changed_names.localCheckpoint()
+        if flipped is not None:
+            flipped = flipped.localCheckpoint()
 
     touch = gram_rows(
         changed_names, [entity_name_col], entity_name_col, k
@@ -315,8 +333,8 @@ def refresh_links(
         .localCheckpoint()
     )
     if stats_out is not None:
-        # cost evidence for the O(touched) claim — counts on the small
-        # checkpointed frames only (the e2e test pins these)
+        # cost evidence for the O(touched) claim — every counted frame
+        # was checkpointed above (the e2e test pins these)
         stats_out["n_touched"] = touched.count()
         stats_out["n_changed_names"] = changed_names.count()
         stats_out["n_flipped_grams"] = (

@@ -657,10 +657,17 @@ def run_incremental(
     link_bootstrap = True
     if maintain_links is not None and tail == "delta":
         if pinned is not None:
+            # `not bootstrap`: the REPLAY-time graph-state decision —
+            # a replay that rebuilds the graph state (e.g. the blocking
+            # family changed between crash and replay) invalidates the
+            # pinned surfaces sid new_strings is diffed against, so the
+            # link tail must bootstrap too even if the intent recorded
+            # link_bootstrap=False (review finding r8).
             if (
                 "link_sids" in pinned
                 and pinned.get("link_params") == link_params
                 and not pinned.get("link_bootstrap", True)
+                and not bootstrap
             ):
                 link_sids = pinned["link_sids"]
                 link_bootstrap = False
