@@ -1071,6 +1071,55 @@ def q_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (r8 debut): ordered doc pairs
+    where src's word-2-gram set is >= 20% contained in dst's — the
+    quote / boilerplate-copy / snippet-in-superset relation the
+    Jaccard-based MinHash path cannot see at very different doc
+    lengths (Broder's resemblance-vs-containment distinction).
+    Posting-list self-join over the SAME word-n-gram hash space as
+    minhash/ngram_jaccard, hot grams (df > 50) banned from both sides
+    so no boilerplate phrase fans out quadratically, score on the
+    BIGINT ppm lattice — integer arithmetic end to end, so the oracle
+    replicates it value-for-value."""
+    from zh_ner_tf_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), n=2, max_gram_df=50,
+        min_containment_ppm=200_000,
+    ).select(
+        F.col("src").cast("bigint"),
+        F.col("dst").cast("bigint"),
+        F.col("shared_grams").cast("bigint"),
+        F.col("src_grams").cast("bigint"),
+        "containment_ppm",
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (r8 debut): top-20 documents for a fixed
+    3-term query under the Lucene-form BM25 (k1=1.2, b=0.75) — the
+    corpus-triage search a crawl-analytics user runs daily, expressed
+    as pure relational aggregation (tf / df census / per-doc length /
+    corpus scalars; no index, no UDF). Scores round at the comparison
+    boundary (round 6) and rank ties break on doc_id, the
+    embedding_topk float-determinism pattern. Documents with no
+    tokens carry no length row, so N and avgdl cover tokenized docs
+    only — frozen on both engines."""
+    from zh_ner_tf_spark.operators.search import bm25_scores
+
+    scores = bm25_scores(_docs(spark, sf_dir), ["table", "scan", "merge"])
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scores.select(
+            F.col("doc_id").cast("bigint"),
+            F.round("score", 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.operators.dedup import exact_dup_groups
 
@@ -1914,9 +1963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deliberate ROTATION with two invariants (adopted r5, VERDICT r4
     item 1 — twice a new operator shipped without a driver row):
 
-      1. a NEW query DEBUTS inside the 50-row window (r8 debut:
-         incremental_link; the eleven r7 debuts stay in-window for a
-         second consecutive driver check, the r5-debut precedent);
+      1. a NEW query DEBUTS inside the 50-row window (r8 debuts:
+         incremental_link, containment_pairs, bm25_topk; the eleven r7
+         debuts stay in-window for a second consecutive driver check,
+         the r5-debut precedent);
       2. a rotated-out entry returns within ONE round. r8 RETURNS all
          24 rows r7 rotated out (the nine relational queries +
          argmax_decode, ngram_jaccard_adjacent, token_counts,
@@ -1945,7 +1995,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          (range_join_dates/sessionize_events return),
          extract_text_bytes and sentence_split (pipeline_triples
          exercises both stages end-to-end), vocab_build
-         (ner_tagger_mentions/train_descent exercise the encode path).
+         (ner_tagger_mentions/train_descent exercise the encode path),
+         and — making room for the containment_pairs/bm25_topk
+         debuts — ann_topk and embedding_near_dup (the in-window
+         ann_int8_rescore row RUNS both paths as its float baselines,
+         and ivf_topk_full keeps a second ANN rep).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -1954,8 +2008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ner_tagger_mentions": q_ner_tagger_mentions,
         "ivf_topk_full": q_ivf_topk_full,
-        # --- r8 debut (invariant 1) ---
+        # --- r8 debuts (invariant 1) ---
         "incremental_link": q_incremental_link,
+        "containment_pairs": q_containment_pairs,
+        "bm25_topk": q_bm25_topk,
         # --- r7 debuts, kept for a second consecutive driver check ---
         "ann_int8_rescore": q_ann_int8_rescore,
         "near_dup_keep_longest": q_near_dup_keep_longest,
@@ -2002,8 +2058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_doc_pairs": q_lsh_doc_pairs,
         "media_ingest": q_media_ingest,
         "entity_blocking": q_entity_blocking,
-        "ann_topk": q_ann_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "pipeline_triples": q_pipeline_triples,
         "pipeline_edges": q_pipeline_edges,
         # --- below the driver's 50-row window this round: rotation pool
@@ -2035,6 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_bytes": q_extract_text_bytes,
         "sentence_split": q_sentence_split,
         "vocab_build": q_vocab_build,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -3151,6 +3207,54 @@ FROM documents GROUP BY content_hash
 """
 
     fam_sqls["simhash"] = _simhash_sql()
+
+    # containment_pairs: the word-2-gram posting-list self-join with a
+    # df>50 ban and BIGINT ppm division — shares _GRAMS2_SQL with the
+    # simhash/ngram family, so the gram space is identical by
+    # construction.
+    fam_sqls["containment_pairs"] = f"""
+WITH g AS ({_GRAMS2_SQL}),
+r AS (SELECT doc_id, unnest(ghashes) AS gram FROM g),
+cb AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM r GROUP BY gram)
+       WHERE c > 50),
+p AS (SELECT r.doc_id, r.gram FROM r ANTI JOIN cb USING (gram)),
+csz AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+csh AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared
+        FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+SELECT csh.src::BIGINT AS src, csh.dst::BIGINT AS dst,
+       csh.shared::BIGINT AS shared_grams, csz.n::BIGINT AS src_grams,
+       ((1000000::BIGINT * csh.shared) // csz.n)::BIGINT AS containment_ppm
+FROM csh JOIN csz ON csz.doc_id = csh.src
+WHERE (1000000::BIGINT * csh.shared) // csz.n >= 200000
+"""
+
+    # bm25_topk: Lucene-form BM25 (k1=1.2, b=0.75) over whitespace
+    # tokens; ln/division are IEEE double on both engines, rounded at
+    # the comparison boundary; rank ties break on doc_id.
+    fam_sqls["bm25_topk"] = """
+WITH btoks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''
+),
+bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+bsc AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdl),
+btf AS (SELECT doc_id, term, count(*) AS tf FROM btoks
+        WHERE term IN ('merge', 'scan', 'table') GROUP BY doc_id, term),
+bdf AS (SELECT term, count(*) AS dft FROM btf GROUP BY term),
+bts AS (SELECT btf.doc_id,
+          ln((bsc.n_docs - bdf.dft + 0.5) / (bdf.dft + 0.5) + 1.0)
+          * btf.tf * 2.2
+          / (btf.tf + 1.2 * (0.25 + 0.75 * bdl.dl / bsc.avgdl)) AS s
+        FROM btf JOIN bdf USING (term) JOIN bdl USING (doc_id)
+        CROSS JOIN bsc),
+bagg AS (SELECT doc_id, round(sum(s), 6) AS score FROM bts GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+FROM bagg QUALIFY rank <= 20
+"""
 
     fam_sqls["ngram_jaccard_adjacent"] = f"""
 WITH g AS ({_GRAMS3_SQL}),

@@ -101,8 +101,8 @@ DOC_QUERIES = [
     "cooccur_triangles", "stratified_sample",
     "pagerank_mentions", "khop_mentions", "triple_confidence",
     "entity_link", "linked_triples",
-    # r8 debut — documents-only
-    "incremental_link",
+    # r8 debuts — documents-only
+    "incremental_link", "containment_pairs", "bm25_topk",
 ]
 
 

@@ -1228,3 +1228,130 @@ def test_quantize_embeddings_rejects_column_collisions(spark):
     # and renaming the collision away works
     out = quantize_embeddings(base)
     assert {"qembedding", "qscale"} <= set(out.columns)
+
+
+def _py_word_ngrams(text, n):
+    """Sequential replica of word_ngram_hashes (distinct poly-hashed
+    word n-grams, whole-doc fold when shorter than n tokens)."""
+    P = 1_000_000_007
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    toks = [t for t in text.split(" ") if t != ""]
+    th = [poly(t) for t in toks]
+    if len(th) >= n:
+        out = []
+        for i in range(len(th) - n + 1):
+            acc = th[i]
+            for k in range(1, n):
+                acc = (acc * 31 + th[i + k]) % P
+            out.append(acc)
+    else:
+        acc = 0
+        for h in th:
+            acc = (acc * 31 + h) % P
+        out = [acc]
+    return set(out)
+
+
+def test_containment_pairs_matches_sequential_replica(spark):
+    """containment_pairs == the set-arithmetic replica over every
+    ordered pair, including: full containment of a snippet in a
+    superset doc (the case Jaccard banding misses), partial overlap,
+    df-banned grams excluded from BOTH numerator and denominator, and
+    docs sharing nothing absent from the output."""
+    from zh_ner_tf_spark.operators.dedup import containment_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "intro words alpha beta gamma delta epsilon zeta outro more",
+        3: "alpha beta gamma something else entirely here",
+        4: "totally unrelated content in this document",
+        5: "alpha beta gamma delta epsilon zeta",  # exact dup of 1
+    }
+    n, maxdf, thr = 2, 3, 100_000
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["src"], r["dst"]): (
+            r["shared_grams"], r["src_grams"], r["containment_ppm"]
+        )
+        for r in containment_pairs(
+            docs, n=n, max_gram_df=maxdf, min_containment_ppm=thr
+        ).collect()
+    }
+
+    grams = {i: _py_word_ngrams(t, n) for i, t in texts.items()}
+    from collections import Counter
+
+    df = Counter(g for gs in grams.values() for g in gs)
+    banned = {g for g, c in df.items() if c > maxdf}
+    pruned = {i: gs - banned for i, gs in grams.items()}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a == b:
+                continue
+            shared = len(pruned[a] & pruned[b])
+            if shared == 0 or len(pruned[a]) == 0:
+                continue
+            ppm = (1_000_000 * shared) // len(pruned[a])
+            if ppm >= thr:
+                want[(a, b)] = (shared, len(pruned[a]), ppm)
+    assert got == want
+    # the asymmetry is real in this fixture: snippet 1 fully contained
+    # in superset 2, but not vice versa
+    assert got[(1, 2)][2] == 1_000_000 and got[(2, 1)][2] < 1_000_000
+
+
+def test_bm25_scores_match_hand_formula(spark):
+    """bm25_scores == the scalar Lucene-form BM25 computed in plain
+    Python on a 4-doc corpus (one doc matching nothing, one empty)."""
+    import math
+
+    from zh_ner_tf_spark.operators.search import bm25_scores
+
+    texts = {
+        1: "spark query engine for spark jobs",
+        2: "query planner",
+        3: "nothing relevant here at all friends",
+        4: "",
+    }
+    q = ["spark", "query"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, q).collect()
+    }
+
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in texts.items()}
+    dls = {i: len(ts) for i, ts in toks.items() if ts}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        s = 0.0
+        for term in sorted(set(q)):
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            dft = sum(1 for ts2 in toks.values() if term in ts2)
+            idf = math.log((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        if s > 0.0:
+            want[i] = s
+    assert set(got) == set(want) == {1, 2}
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    # doc 1 matches both terms twice -> strictly above doc 2
+    assert got[1] > got[2]

@@ -362,3 +362,43 @@ def test_link_mentions_gram_joins_are_broadcast(spark):
     # the shuffle-KB variant keeps the gram equi-join hash-based too
     plan2 = _plan(link_mentions(men, ents, broadcast_entities=False))
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_containment_pairs_plan_shape(spark):
+    """Containment's physical plan: the gram-keyed self-join is a real
+    equi join (never cartesian/nested-loop), the df-ban anti-joins are
+    BROADCAST (the census is gram-space-sized), and the shared/size
+    aggregates are partial (map-side combinable)."""
+    from zh_ner_tf_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(containment_pairs(docs, n=2, max_gram_df=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" in ln for ln in anti), anti
+    assert "partial_count" in plan  # map-side combine on the aggregates
+
+
+def test_bm25_plan_broadcasts_census_and_scalars(spark):
+    """BM25's physical plan: the df census and the corpus-scalar row
+    join as BROADCASTS (never a shuffle of the corpus against |query|
+    rows), the term filter is applied below the tf aggregate, and no
+    nested-loop join appears except the sanctioned 1-row scalar
+    attach."""
+    from zh_ner_tf_spark.operators.search import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"spark query engine doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(bm25_scores(docs, ["spark", "query"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+    # the IN filter runs in the scan/projection stage, not post-agg
+    assert "term IN" in plan or "term#" in plan

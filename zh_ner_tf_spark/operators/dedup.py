@@ -617,3 +617,81 @@ def near_dup_keep_best(
             .alias("keep"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_gram_df: int | None = None,
+    min_containment_ppm: int = 0,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered document pairs where one
+    document's word-n-gram set is (mostly) CONTAINED in another's —
+    the quote / boilerplate-copy / superset-page relation MinHash
+    misses by design (Jaccard between a snippet and the long page that
+    embeds it is tiny even at containment 1.0, so band collision
+    probability vanishes; containment is the right lens for "A copies
+    from B" at very different lengths — Broder's resemblance vs
+    containment distinction).
+
+      containment_ppm(src, dst)
+          = (1_000_000 * |G_src ∩ G_dst|) div |G_src|
+
+    over DISTINCT word-n-gram hashes (ngram_hash_rows — the exact gram
+    space the MinHash / ngram-Jaccard family and their DuckDB replicas
+    use), on the BIGINT ppm lattice: no float anywhere, so the oracle
+    matches value-for-value. One row per ORDERED pair (src != dst)
+    sharing >= 1 surviving gram and scoring >= ``min_containment_ppm``
+    (both directions emitted — containment is the asymmetry).
+
+    Candidate generation is the linking-style posting-list self-join,
+    never all-pairs: docs pair only through shared gram keys, and
+    ``max_gram_df`` bans grams present in more than that many
+    documents (the df census is gram-space-sized, broadcast into the
+    anti-joins) so no single hot gram — boilerplate phrases, navigation
+    chrome — can fan out quadratically. With pruning active, BOTH the
+    intersection and the |G_src| denominator are computed over the
+    pruned gram space (the linking.py rule: containment stays exact
+    over the pruned space; a mixed-space ratio could exceed 1.0).
+
+    Scale shape (100 TB): per-doc gram rows build shuffle-free (Arrow
+    batch per partition); the self-join shuffles on the gram key with
+    per-key fan-out <= max_gram_df^2; shared counts and gram counts
+    are map-side-combinable groupBys. Skewed residual keys fall to AQE
+    skew-join. Callers wanting the near-dup-cluster treatment feed the
+    output pairs (filtered to one direction) into connected_components
+    like lsh_doc_pairs."""
+    from zh_ner_tf_spark.operators.linking import banned_grams
+
+    g = ngram_hash_rows(
+        docs.filter(F.col(text_col).isNotNull()), id_col, text_col, n
+    ).withColumnRenamed("gh", "_gram")
+    if max_gram_df is not None:
+        banned = banned_grams(g, max_gram_df)
+        g = g.join(F.broadcast(banned), "_gram", "left_anti")
+    sizes = g.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+    ga = g.select(F.col("_k").alias("src"), "_gram")
+    gb = g.select(F.col("_k").alias("dst"), "_gram")
+    shared = (
+        ga.join(gb, "_gram")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    na = sizes.select(F.col("_k").alias("src"), F.col("_n").alias("_n_src"))
+    return (
+        shared.join(na, "src")
+        .withColumn(
+            "containment_ppm",
+            F.expr("(CAST(1000000 AS BIGINT) * _shared) div _n_src"),
+        )
+        .filter(F.col("containment_ppm") >= min_containment_ppm)
+        .select(
+            "src", "dst",
+            F.col("_shared").alias("shared_grams"),
+            F.col("_n_src").alias("src_grams"),
+            "containment_ppm",
+        )
+    )
