@@ -1405,6 +1405,49 @@ def _write_baseline_md(result: dict) -> None:
         "~corpus/16 per band). The family resolves from parquet FOOTER row",
         "counts — no extra count() job on the ANN hot path.",
     ]
+    if s.get("closing_gate"):
+        lines += [
+            "",
+            "## Closing-record scaling gate (VERDICT r7 item 5)",
+            "",
+            f"`{json.dumps(s['closing_gate'])}`",
+            "",
+            "The scaling loop PURSUES raw >= 0.8: after enough clean reps,",
+            "extra attempts run (bounded) unless the session's own",
+            "job-matched GEMM ceiling is itself < 0.8 — then the host",
+            "physically cannot show the gate this session and the record",
+            "says so instead of silently recording a sub-gate number.",
+        ]
+    i8 = result.get("int8_rescore")
+    if i8:
+        lines += [
+            "",
+            "## int8 exchange bytes (measured, VERDICT r7 item 4)",
+            "",
+            f"`{json.dumps(i8)}`",
+            "",
+            "Shuffle bytes from the AppStatusStore under the forced-shuffle",
+            "probe (auto-broadcast off = the crawl-scale plan shape; design",
+            "broadcasts keep their hints). near_dup_vector_bytes_ratio",
+            "isolates the vector-carrying exchanges by subtracting the",
+            "variant-invariant candidate-generation bytes. This corpus",
+            "stores float32, capping the element ratio at 4x; per-row",
+            "ids/headers and similar lz4 compressibility account for the",
+            "rest (decomposition in int8_rescore_timing's docstring).",
+        ]
+    go = result.get("graph_ops")
+    if go:
+        lines += [
+            "",
+            "## Graph operators (fixture scale + 500k-node/2.5M-edge probe)",
+            "",
+            f"`{json.dumps(go)}`",
+            "",
+            "at_scale runs on a JVM-generated skewed graph (13 hubs) where",
+            "the graph itself dominates the runtime — the fixture graph has",
+            "~526 nodes, so its timings measure upstream span extraction.",
+            "Node/edge counts are recorded beside each time.",
+        ]
     lines += _append_history(result)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
