@@ -5,7 +5,7 @@ Usage:
   spark-submit --py-files engine.zip scripts/run_pipeline_job.py \
       <n_pages> <out_dir>                          # full batch build
   spark-submit --py-files engine.zip scripts/run_pipeline_job.py \
-      incremental <pages_table> <graph_root> [batch_pages]
+      incremental <pages_table> <graph_root> [batch_pages] [--links]
                                                    # crawl-consumption loop
 
 Batch mode builds the fixture pages table, runs the full KG pipeline,
@@ -13,7 +13,10 @@ and writes triples/nodes/edges under <out_dir>. Incremental mode
 simulates one crawl arrival (appends a deterministic batch of pages as
 a new snapshot to <pages_table>) and consumes it with
 pipeline.run_incremental — each invocation tags ONLY the new batch and
-republishes the graph; re-running keeps advancing the cursor. The
+republishes the graph; re-running keeps advancing the cursor. With
+``--links`` the corpus alias table is maintained too (incremental
+relink of KB-churn-touched surfaces only; state under
+<graph_root>/state/links). The
 engine arrives ONLY via --py-files (no repo on the executors' path) —
 this script must import everything from the shipped zip.
 """
@@ -45,9 +48,11 @@ def main_incremental() -> None:
     from zh_ner_tf_spark.pipeline import run_incremental
     from zh_ner_tf_spark.sources.sinks import committed_snapshots, snapshot_append
 
-    pages_table = sys.argv[2]
-    graph_root = sys.argv[3]
-    batch_pages = int(sys.argv[4]) if len(sys.argv) > 4 else 60
+    args = [a for a in sys.argv[2:] if a != "--links"]
+    maintain_links = {"min_score_ppm": 600_000} if "--links" in sys.argv else None
+    pages_table = args[0]
+    graph_root = args[1]
+    batch_pages = int(args[2]) if len(args) > 2 else 60
     max_batches = 8
 
     spark = SparkSession.builder.appName("kg_incremental_job").getOrCreate()
@@ -77,11 +82,14 @@ def main_incremental() -> None:
             schema=pages_schema(),
         )
         snapshot_append(df, pages_table)
-    res = run_incremental(spark, pages_table, graph_root, weights, word2id)
+    res = run_incremental(spark, pages_table, graph_root, weights, word2id,
+                          maintain_links=maintain_links)
     print(f"PROCESSED_PAGES={res['processed_pages']}")
     print(f"UP_TO_DATE={res['up_to_date']}")
     print(f"PAGES_SNAPSHOT={res['pages_snapshot']}")
     print(f"GRAPH_SNAPSHOTS={res['graph_sids']}")
+    if res.get("link_stats") is not None:
+        print(f"LINK_MODE={res['link_stats'].get('link_mode')}")
     spark.stop()
 
 
