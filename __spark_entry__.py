@@ -1120,6 +1120,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM surprisal per document (r8 debut): average
+    per-token ln(T/c(t)) under the corpus's own unigram model — the
+    model-based quality triage signal beside the rule-based
+    quality_features (low = boilerplate, high = rare-token-dense).
+    Same tokenizer as bm25_topk; float ln/division round at the
+    comparison boundary (round 6), the bm25/embedding_topk
+    determinism pattern."""
+    from zh_ner_tf_spark.functions.text import token_surprisal
+
+    return token_surprisal(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_tokens").cast("bigint"),
+        F.round("surprisal", 6).alias("surprisal"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.operators.dedup import exact_dup_groups
 
@@ -1964,9 +1981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item 1 — twice a new operator shipped without a driver row):
 
       1. a NEW query DEBUTS inside the 50-row window (r8 debuts:
-         incremental_link, containment_pairs, bm25_topk; the eleven r7
-         debuts stay in-window for a second consecutive driver check,
-         the r5-debut precedent);
+         incremental_link, containment_pairs, bm25_topk,
+         token_surprisal; the eleven r7 debuts stay in-window for a
+         second consecutive driver check, the r5-debut precedent);
       2. a rotated-out entry returns within ONE round. r8 RETURNS all
          24 rows r7 rotated out (the nine relational queries +
          argmax_decode, ngram_jaccard_adjacent, token_counts,
@@ -1996,10 +2013,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          extract_text_bytes and sentence_split (pipeline_triples
          exercises both stages end-to-end), vocab_build
          (ner_tagger_mentions/train_descent exercise the encode path),
-         and — making room for the containment_pairs/bm25_topk
-         debuts — ann_topk and embedding_near_dup (the in-window
-         ann_int8_rescore row RUNS both paths as its float baselines,
-         and ivf_topk_full keeps a second ANN rep).
+         and — making room for the containment_pairs/bm25_topk/
+         token_surprisal debuts — ann_topk and embedding_near_dup (the
+         in-window ann_int8_rescore row RUNS both paths as its float
+         baselines, and ivf_topk_full keeps a second ANN rep) and
+         triples_pattern (triple_confidence, linked_triples and the
+         value-gated pipeline_triples keep the extraction family
+         in-window).
 
     ALL entries are gated locally every round by
     tests/test_entry_contract.py::test_query_matches_oracle, which
@@ -2012,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_link": q_incremental_link,
         "containment_pairs": q_containment_pairs,
         "bm25_topk": q_bm25_topk,
+        "token_surprisal": q_token_surprisal,
         # --- r7 debuts, kept for a second consecutive driver check ---
         "ann_int8_rescore": q_ann_int8_rescore,
         "near_dup_keep_longest": q_near_dup_keep_longest,
@@ -2054,7 +2075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_full": q_cc_full,
         "anti_join_resume": q_anti_join_resume,
         "eval_prf1": q_eval_prf1,
-        "triples_pattern": q_triples_pattern,
         "lsh_doc_pairs": q_lsh_doc_pairs,
         "media_ingest": q_media_ingest,
         "entity_blocking": q_entity_blocking,
@@ -2091,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": q_vocab_build,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "triples_pattern": q_triples_pattern,
     }
 
 
@@ -3254,6 +3275,24 @@ bagg AS (SELECT doc_id, round(sum(s), 6) AS score FROM bts GROUP BY doc_id)
 SELECT doc_id::BIGINT AS doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
 FROM bagg QUALIFY rank <= 20
+"""
+
+    # token_surprisal: the bm25 tokenizer + a corpus unigram census;
+    # avg per-occurrence ln(T/c) rounded at the boundary.
+    fam_sqls["token_surprisal"] = """
+WITH stoks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''
+),
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks GROUP BY doc_id, term),
+scen AS (SELECT term, sum(tf) AS c FROM stf GROUP BY term),
+stot AS (SELECT sum(c) AS t FROM scen)
+SELECT stf.doc_id::BIGINT AS doc_id, sum(stf.tf)::BIGINT AS n_tokens,
+       round(sum(stf.tf * ln(stot.t / scen.c)) / sum(stf.tf), 6) AS surprisal
+FROM stf JOIN scen USING (term) CROSS JOIN stot
+GROUP BY stf.doc_id
 """
 
     fam_sqls["ngram_jaccard_adjacent"] = f"""

@@ -103,6 +103,7 @@ DOC_QUERIES = [
     "entity_link", "linked_triples",
     # r8 debuts — documents-only
     "incremental_link", "containment_pairs", "bm25_topk",
+    "token_surprisal",
 ]
 
 

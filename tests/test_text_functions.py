@@ -127,3 +127,47 @@ def test_null_text_flows_through_text_and_sketch_operators(spark):
     assert simhash_table(docs, "doc_id", "text").count() == 1
     assert winnow_fingerprints(docs, "doc_id", "text").count() >= 1
     assert split_sentences(docs, "text", ["doc_id"]).count() == 1
+
+
+def test_token_surprisal_matches_hand_formula(spark):
+    """token_surprisal == the scalar unigram-LM computation in plain
+    Python: repeated boilerplate scores LOW, a rare-token doc HIGH;
+    NULL/empty/token-free docs are absent."""
+    import math
+
+    from zh_ner_tf_spark.functions.text import token_surprisal
+
+    texts = {
+        1: "the cat sat on the mat the cat",
+        2: "zyzzyva quokka axolotl",
+        3: "the the the the",
+        4: None,
+        5: "",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal"])
+        for r in token_surprisal(docs).collect()
+    }
+
+    toks = {
+        i: [t for t in txt.lower().split() if t]
+        for i, txt in texts.items() if txt
+    }
+    from collections import Counter
+
+    census = Counter(t for ts in toks.values() for t in ts)
+    total = sum(census.values())
+    want = {
+        i: (len(ts),
+            sum(math.log(total / census[t]) for t in ts) / len(ts))
+        for i, ts in toks.items() if ts
+    }
+    assert set(got) == set(want) == {1, 2, 3}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9
+    # the quality ordering the signal exists for
+    assert got[3][1] < got[1][1] < got[2][1]

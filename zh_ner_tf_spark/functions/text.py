@@ -147,3 +147,53 @@ def doc_fingerprint(text: Column, k: int = 3) -> Column:
     lives in operators/dedup.py."""
     _ = k
     return poly_hash(text)
+
+
+def token_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram-LM surprisal per document — the model-based
+    quality signal beside the rule-based quality_features: a document's
+    average per-token surprisal under the corpus's own unigram language
+    model,
+
+        surprisal(d) = (1/|d|) * sum over token occurrences t of
+                       ln( T / c(t) )
+
+    where c(t) is the corpus occurrence count and T the corpus token
+    total (maximum-likelihood unigram LM; every scored token is in the
+    vocabulary by construction, so no smoothing term is needed). LOW
+    surprisal = boilerplate / repetitive text; HIGH = rare-token-dense
+    (often gibberish, OCR noise, or genuinely information-rich text) —
+    both tails are the standard pretraining-corpus triage cuts.
+
+    Tokenizer: lowercased whitespace split (operators/search.py
+    tokenize_docs — shared with BM25, replicated exactly by the DuckDB
+    oracle). Returns (id_col, n_tokens, surprisal) for every document
+    with >= 1 token; surprisal is raw (callers round at comparison
+    boundaries).
+
+    Scale shape (100 TB): per-(doc, term) tf and the corpus term census
+    are map-side-combinable groupBys; the scoring join is tf ⋈ census
+    on the term key (census is vocabulary-sized — the planner
+    broadcasts it while it fits, and the join stays a bounded-fan-out
+    equi join when it does not); T rides a 1-row broadcast. One
+    corpus-keyed shuffle for the final per-doc sum."""
+    from zh_ner_tf_spark.operators.search import tokenize_docs
+
+    toks = tokenize_docs(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    census = tf.groupBy("term").agg(F.sum("_tf").alias("_c"))
+    total = census.agg(F.sum("_c").alias("_t"))
+    return (
+        tf.join(census, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").alias("n_tokens"),
+            (
+                F.sum(F.col("_tf") * F.log(F.col("_t") / F.col("_c")))
+                / F.sum("_tf")
+            ).alias("surprisal"),
+        )
+    )
