@@ -1109,15 +1109,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zh_ner_tf_spark.operators.search import bm25_scores
 
     scores = bm25_scores(_docs(spark, sf_dir), ["table", "scan", "merge"])
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
+    # distributed top-k FIRST (orderBy+limit plans as
+    # TakeOrderedAndProject — per-partition top-20 merged on the
+    # driver), THEN the rank window over the surviving <= 20 rows: a
+    # bare global row_number window would move EVERY scored doc to one
+    # partition (WindowExec warns exactly this), the anti-pattern at
+    # corpus scale.
+    top = (
         scores.select(
             F.col("doc_id").cast("bigint"),
             F.round("score", 6).alias("score"),
         )
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
     )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -688,6 +688,28 @@ def graph_ops_at_scale(
     return out
 
 
+def text_ops_timing(spark, sf_dir: str) -> dict:
+    """Wall time for the r8 text/link debuts at sf scale (best of 2) —
+    the graph_ops pattern: NOT in headline_total_sec (that query set is
+    frozen for round-over-round comparability); full_result.json
+    only."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict = {}
+    for name in ("containment_pairs", "bm25_topk", "token_surprisal",
+                 "incremental_link"):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            d = time.time() - t0
+            best = d if best is None else min(best, d)
+        out[f"{name}_sec"] = round(best, 3)
+    return out
+
+
 def run_tagger_fullsize(spark, sf_dir: str, n_docs: int) -> dict:
     """Reference-default model shape (D=H=300, main.py argparse [R])
     over sf documents — the compute-bound scaling probe."""
@@ -783,6 +805,7 @@ def main() -> None:
     result["int8_rescore"] = int8_rescore_timing(spark, SF_DIR)
     result["graph_ops"] = graph_ops_timing(spark, SF_DIR)
     result["graph_ops"]["at_scale"] = graph_ops_at_scale(spark)
+    result["text_ops"] = text_ops_timing(spark, SF_DIR)
     result["incremental"] = run_incremental_probe(spark, weights, word2id)
     spark.stop()
 
