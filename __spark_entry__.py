@@ -3263,7 +3263,7 @@ WHERE (1000000::BIGINT * csh.shared) // csz.n >= 200000
     fam_sqls["bm25_topk"] = """
 WITH btoks AS (
   SELECT doc_id, t AS term FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+    SELECT doc_id, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS t
     FROM documents WHERE text IS NOT NULL)
   WHERE t <> ''
 ),
@@ -3289,7 +3289,7 @@ FROM bagg QUALIFY rank <= 20
     fam_sqls["token_surprisal"] = """
 WITH stoks AS (
   SELECT doc_id, t AS term FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+    SELECT doc_id, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS t
     FROM documents WHERE text IS NOT NULL)
   WHERE t <> ''
 ),

@@ -607,23 +607,15 @@ def int8_rescore_timing(spark, sf_dir: str) -> dict:
     return out
 
 
-def graph_ops_timing(spark, sf_dir: str) -> dict:
-    """Wall time for the r7 graph/sampling debuts at sf scale (best of
-    2). Deliberately NOT in headline_total_sec — the headline query set
-    is frozen for round-over-round comparability; these land in their
-    own block. cooccur_triangles' cost is dominated by the upstream
-    span-extraction pipeline (~9s of ~20s cold at sf0.1), not the
-    triangle joins — the compact-forward orientation keeps the wedge
-    fan-out bounded even though the co-occurrence graph has near-global
-    hubs (max degree ~1900 of ~2200 nodes at sf0.1)."""
+def _ops_timing(spark, sf_dir: str, names: tuple) -> dict:
+    """Best-of-2 noop-write wall time per named driver query — the ONE
+    timing loop the graph_ops and text_ops blocks share (rep count /
+    sink / rounding must not drift between blocks)."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
     out: dict = {}
-    for name in ("stratified_sample", "near_dup_keep_longest",
-                 "cooccur_triangles", "pagerank_mentions",
-                 "khop_mentions", "triple_confidence", "entity_link",
-                 "linked_triples"):
+    for name in names:
         best = None
         for _ in range(2):
             t0 = time.time()
@@ -633,6 +625,22 @@ def graph_ops_timing(spark, sf_dir: str) -> dict:
             best = d if best is None else min(best, d)
         out[f"{name}_sec"] = round(best, 3)
     return out
+
+
+def graph_ops_timing(spark, sf_dir: str) -> dict:
+    """Wall time for the r7 graph/sampling debuts at sf scale (best of
+    2). Deliberately NOT in headline_total_sec — the headline query set
+    is frozen for round-over-round comparability; these land in their
+    own block. cooccur_triangles' cost is dominated by the upstream
+    span-extraction pipeline (~9s of ~20s cold at sf0.1), not the
+    triangle joins — the compact-forward orientation keeps the wedge
+    fan-out bounded even though the co-occurrence graph has near-global
+    hubs (max degree ~1900 of ~2200 nodes at sf0.1)."""
+    return _ops_timing(spark, sf_dir, (
+        "stratified_sample", "near_dup_keep_longest",
+        "cooccur_triangles", "pagerank_mentions",
+        "khop_mentions", "triple_confidence", "entity_link",
+        "linked_triples"))
 
 
 def graph_ops_at_scale(
@@ -693,21 +701,9 @@ def text_ops_timing(spark, sf_dir: str) -> dict:
     the graph_ops pattern: NOT in headline_total_sec (that query set is
     frozen for round-over-round comparability); full_result.json
     only."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-    out: dict = {}
-    for name in ("containment_pairs", "bm25_topk", "token_surprisal",
-                 "incremental_link"):
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop") \
-                .mode("overwrite").save()
-            d = time.time() - t0
-            best = d if best is None else min(best, d)
-        out[f"{name}_sec"] = round(best, 3)
-    return out
+    return _ops_timing(spark, sf_dir, (
+        "containment_pairs", "bm25_topk", "token_surprisal",
+        "incremental_link"))
 
 
 def run_tagger_fullsize(spark, sf_dir: str, n_docs: int) -> dict:

@@ -125,6 +125,12 @@ def null_heavy_sf(spark, tmp_path_factory):
         # stay value-exact on emoji / math alphanumerics / CJK
         "北京 大学 😀emoji 𝕏math table",
         "🇺🇸flag naïve scan 😀emoji",
+        # cased non-ASCII: full-Unicode lower() is NOT engine-invariant
+        # (Java's U+0130 'İ' -> 'i' + combining dot vs utf8proc's 'i'),
+        # so every tokenizer must use the frozen ASCII-only lowercase —
+        # this row turns a lower() regression into a driver red
+        # (review finding r8)
+        "İstanbul TABLE Scan MERGE Straße ÇÖĞÜŞİ süß",
     ]
     rows = [
         (i, t, ["zh", "en", "de"][i % 3], f"s{i % 4}", len(t) if t else 0)

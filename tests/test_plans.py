@@ -400,5 +400,9 @@ def test_bm25_plan_broadcasts_census_and_scalars(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "partial_count" in plan
-    # the IN filter runs in the scan/projection stage, not post-agg
-    assert "term IN" in plan or "term#" in plan
+    # the query-term IN filter really exists as a Filter over the
+    # exploded term column (removing the pushdown from bm25_scores —
+    # censusing the whole vocabulary — must fail here; the previous
+    # `"term#" in plan` form matched ANY plan referencing the column,
+    # review finding r8)
+    assert " IN (query,spark)" in plan, plan

@@ -71,7 +71,7 @@ def test_spark_submit_incremental_consumes_batches(tmp_path):
     for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         env[v] = "1"
 
-    def submit():
+    def submit(*extra):
         return subprocess.run(
             [
                 "spark-submit",
@@ -81,7 +81,7 @@ def test_spark_submit_incremental_consumes_batches(tmp_path):
                 "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
                 "--py-files", zip_path,
                 os.path.join(REPO, "scripts", "run_pipeline_job.py"),
-                "incremental", ptable, groot, "50", "--links",
+                "incremental", ptable, groot, "50", *extra,
             ],
             cwd=str(tmp_path), env=env, capture_output=True, text=True,
             timeout=600,
@@ -95,13 +95,15 @@ def test_spark_submit_incremental_consumes_batches(tmp_path):
     assert val(p1.stdout, "PROCESSED_PAGES") == "50"
     assert val(p1.stdout, "UP_TO_DATE") == "False"
     assert val(p1.stdout, "PAGES_SNAPSHOT") == "1"
-    assert val(p1.stdout, "LINK_MODE") == "bootstrap"
-    p2 = submit()
+    # default CLI shape (no --links): no link state is touched/printed
+    assert "LINK_MODE=" not in p1.stdout
+    p2 = submit("--links")
     assert p2.returncode == 0, p2.stderr[-3000:]
     assert val(p2.stdout, "PROCESSED_PAGES") == "50"   # ONLY the new batch
     assert val(p2.stdout, "PAGES_SNAPSHOT") == "2"
-    # second maintained increment runs the DELTA refresh from the zip
-    assert val(p2.stdout, "LINK_MODE") == "delta"
+    # --links over state an unmaintained increment left stale must
+    # BOOTSTRAP (full relink) from the zip, not delta-merge
+    assert val(p2.stdout, "LINK_MODE") == "bootstrap"
     assert os.path.exists(os.path.join(groot, "nodes", "snapshots"))
     assert os.path.exists(os.path.join(groot, "mentions"))
     assert os.path.exists(os.path.join(groot, "state", "links"))

@@ -149,6 +149,45 @@ def doc_fingerprint(text: Column, k: int = 3) -> Column:
     return poly_hash(text)
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    """ASCII-ONLY lowercase via translate — the frozen case rule for
+    every oracle-gated tokenizer. Full Unicode lower() is NOT
+    engine-invariant (Spark uses Java full case mapping — U+0130
+    'İ' -> 'i' + combining dot — while DuckDB's utf8proc does simple
+    codepoint mapping -> 'i'), so an oracle pair built on lower()
+    silently diverges on real cased non-ASCII crawl text (review
+    finding r8). translate over the 26 ASCII letters is bit-identical
+    on both engines and leaves every other codepoint untouched."""
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+
+
+# the DuckDB twin of ascii_lower, for oracle SQL builders
+ASCII_LOWER_SQL = f"translate({{col}}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def tokenize_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term) rows: ASCII-lowercased whitespace tokens, empties
+    dropped — the frozen tokenizer BM25 and token_surprisal share and
+    their DuckDB oracles replicate exactly (string_split_regex +
+    translate)."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(ascii_lower(F.col(text_col)), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
 def token_surprisal(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -167,11 +206,10 @@ def token_surprisal(
     (often gibberish, OCR noise, or genuinely information-rich text) —
     both tails are the standard pretraining-corpus triage cuts.
 
-    Tokenizer: lowercased whitespace split (operators/search.py
-    tokenize_docs — shared with BM25, replicated exactly by the DuckDB
-    oracle). Returns (id_col, n_tokens, surprisal) for every document
-    with >= 1 token; surprisal is raw (callers round at comparison
-    boundaries).
+    Tokenizer: ASCII-lowercased whitespace split (tokenize_docs above —
+    shared with BM25, replicated exactly by the DuckDB oracle).
+    Returns (id_col, n_tokens, surprisal) for every document with >= 1
+    token; surprisal is raw (callers round at comparison boundaries).
 
     Scale shape (100 TB): per-(doc, term) tf and the corpus term census
     are map-side-combinable groupBys; the scoring join is tf ⋈ census
@@ -179,8 +217,6 @@ def token_surprisal(
     broadcasts it while it fits, and the join stays a bounded-fan-out
     equi join when it does not); T rides a 1-row broadcast. One
     corpus-keyed shuffle for the final per-doc sum."""
-    from zh_ner_tf_spark.operators.search import tokenize_docs
-
     toks = tokenize_docs(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
     census = tf.groupBy("term").agg(F.sum("_tf").alias("_c"))

@@ -29,21 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def tokenize_docs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, term) rows: lowercased whitespace tokens, empties dropped —
-    the frozen tokenizer BOTH the engine and the DuckDB oracle apply
-    (string_split + trim replicate it exactly)."""
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-    )
+# the frozen ASCII-lowercase whitespace tokenizer lives in the
+# functions layer (operators -> functions is the package's dependency
+# direction); re-exported here for callers that think of it as the
+# search tokenizer
+from zh_ner_tf_spark.functions.text import tokenize_docs  # noqa: F401
 
 
 def bm25_scores(
@@ -58,9 +48,14 @@ def bm25_scores(
 
     ``query_terms`` is a small literal list (a search query); duplicate
     terms are collapsed — BM25 is defined over the query's term SET in
-    this form. Scores are raw (caller rounds/ranks; see the driver row
-    for the deterministic top-k shape)."""
-    terms = sorted({t.lower() for t in query_terms})
+    this form — and query terms get the SAME frozen ASCII-only
+    lowercase the corpus tokenizer applies. Scores are raw (caller
+    rounds/ranks; see the driver row for the deterministic top-k
+    shape)."""
+    from zh_ner_tf_spark.functions.text import _ASCII_LOWER, _ASCII_UPPER
+
+    tr = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+    terms = sorted({t.translate(tr) for t in query_terms})
     if not terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
     toks = tokenize_docs(docs, id_col, text_col)

@@ -338,11 +338,17 @@ def _run_batch(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
     """Shared per-batch path: encode -> length-sorted chunked pad ->
     logits -> viterbi, results in original row order."""
-    seqs = pdf[chars_col]
-    if len(seqs) and isinstance(seqs.iloc[0], str):
-        seqs = seqs.map(list)
-    else:
-        seqs = seqs.map(lambda a: list(a))
+    def _to_list(a):
+        # NULL sentences (None from Arrow, float NaN from pandas) get
+        # the empty-sentence treatment — dropped via the keep mask
+        # below. A crawl emits NULL text rows; list(None) would crash
+        # the whole Arrow batch (found by the adversarial-corpus gate
+        # when a NULL doc first reached the tagger rows, r8).
+        if a is None or isinstance(a, float):
+            return []
+        return list(a)
+
+    seqs = pdf[chars_col].map(_to_list)
     lens = seqs.map(len).to_numpy(dtype=np.int64)
     keep = lens > 0
     seqs, lens = seqs[keep], lens[keep]
