@@ -1467,6 +1467,14 @@ def _write_baseline_md(result: dict) -> None:
             "~526 nodes, so its timings measure upstream span extraction.",
             "Node/edge counts are recorded beside each time.",
         ]
+    to = result.get("text_ops")
+    if to:
+        lines += [
+            "",
+            "## Text / link operators (r8 rows, sf scale)",
+            "",
+            f"`{json.dumps(to)}`",
+        ]
     lines += _append_history(result)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
