@@ -470,3 +470,22 @@ def test_property_refresh_links_equals_full_relink(
     the incremental refresh equals the full relink exactly."""
     new = surfs[: min(n_new, len(surfs))]
     _check_refresh(spark, surfs, new, old_ents, new_ents, maxdf, thr)
+
+
+def test_refresh_links_unchanged_kb_touches_only_new_surfaces(spark):
+    """Steady-state increment (KB identical old vs new): the refresh
+    must relink EXACTLY the new surfaces — the corpus-wide gram scan is
+    skipped, untouched rows carry forward — and still equal the full
+    relink."""
+    stats = _check_refresh(
+        spark,
+        all_surfs=["alphacorp", "betainc", "gammallc", "newsurface"],
+        new_surfs=["newsurface"],
+        old_ents=[(1, "alpha corp"), (2, "beta inc")],
+        new_ents=[(1, "alpha corp"), (2, "beta inc")],
+        maxdf=5,
+        thr=100_000,
+    )
+    assert stats["n_touched"] == 1
+    assert stats["n_changed_names"] == 0
+    assert stats["n_flipped_grams"] == 0

@@ -311,27 +311,37 @@ def refresh_links(
         if flipped is not None:
             flipped = flipped.localCheckpoint()
 
-    touch = gram_rows(
-        changed_names, [entity_name_col], entity_name_col, k
-    ).select("_gram")
-    if flipped is not None:
-        touch = touch.unionByName(flipped)
-    touch = touch.distinct()
+    # Steady-state early exit: most crawl increments add pages without
+    # moving the canonical space at all (no rep renamed, no df flip).
+    # The touch-gram set is then EMPTY and the corpus-wide gram scan
+    # below would provably select nothing — skip it and relink only the
+    # new surfaces. The emptiness probes run on the KB-diff-sized
+    # frames (limit(1) short-circuits), not the corpus.
+    kb_churned = changed_names.limit(1).count() > 0 or (
+        flipped is not None and flipped.limit(1).count() > 0
+    )
+    if kb_churned:
+        touch = gram_rows(
+            changed_names, [entity_name_col], entity_name_col, k
+        ).select("_gram")
+        if flipped is not None:
+            touch = touch.unionByName(flipped)
+        touch = touch.distinct()
 
-    all_s = surfaces.select(mention_col).distinct()
-    touched_by_gram = (
-        gram_rows(all_s, [mention_col], mention_col, k)
-        .join(F.broadcast(touch), "_gram")
-        .select(mention_col)
-        .distinct()
-    )
-    touched = (
-        new_surfaces.select(mention_col)
-        .unionByName(touched_by_gram)
-        .distinct()
-        # consumed 3x below (2x inside link_mentions + the anti-join)
-        .localCheckpoint()
-    )
+        all_s = surfaces.select(mention_col).distinct()
+        touched_by_gram = (
+            gram_rows(all_s, [mention_col], mention_col, k)
+            .join(F.broadcast(touch), "_gram")
+            .select(mention_col)
+            .distinct()
+        )
+        touched = new_surfaces.select(mention_col).unionByName(
+            touched_by_gram
+        )
+    else:
+        touched = new_surfaces.select(mention_col)
+    # consumed 3x below (2x inside link_mentions + the anti-join)
+    touched = touched.distinct().localCheckpoint()
     if stats_out is not None:
         # cost evidence for the O(touched) claim — every counted frame
         # was checkpointed above (the e2e test pins these)
