@@ -168,34 +168,36 @@ def banded_pairs_salted(
     hk = F.broadcast(hot.select(*keys).withColumn("_hot", F.lit(True)))
     marked = banded.join(hk, keys, "left")
 
-    def _sides(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        left = df.select(
-            *keys, F.col(id_col).alias("src"),
-            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
-        )
-        right = df.select(
-            *keys, F.col(id_col).alias("dst"),
-            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
-        )
-        return left, right
-
-    cold_l, cold_r = _sides(marked.filter(F.col("_hot").isNull()).drop("_hot"))
-    cold_pairs = cold_l.join(cold_r, keys)
-
-    hot_rows = marked.filter(F.col("_hot").isNotNull()).drop("_hot")
-    hot_l, hot_r = _sides(hot_rows)
-    hot_l = hot_l.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("src")), F.lit(salt_buckets))
+    # ONE salted equi-join covers both temperatures (r9: the previous
+    # cold-join + hot-join + union shape paid two joins' planning and
+    # scheduling for the same pair set): cold keys take salt 0 on both
+    # sides (zero replication — the plain join), census-detected hot
+    # keys get the hash salt on the left and full explode-replication
+    # on the right, so each (a, b) pair still meets exactly once and
+    # the m^2 work of a hot key spreads over salt_buckets tasks.
+    is_hot = F.col("_hot").isNotNull()
+    left = marked.select(
+        *keys, F.col(id_col).alias("src"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        F.when(
+            is_hot, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        ).otherwise(F.lit(0).cast("bigint")).alias("_salt"),
     )
-    hot_r = hot_r.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    right = marked.select(
+        *keys, F.col(id_col).alias("dst"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        F.explode(
+            F.when(
+                is_hot,
+                F.sequence(F.lit(0).cast("bigint"),
+                           F.lit(salt_buckets - 1).cast("bigint")),
+            ).otherwise(F.array(F.lit(0).cast("bigint")))
+        ).alias("_salt"),
     )
-    hot_pairs = hot_l.join(hot_r, [*keys, "_salt"]).drop("_salt")
-
     return (
-        cold_pairs.unionByName(hot_pairs)
+        left.join(right, [*keys, "_salt"])
         .filter(F.col("src") < F.col("dst"))
-        .drop(*keys)
+        .drop("_salt", *keys)
     )
 
 

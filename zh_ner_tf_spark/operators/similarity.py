@@ -151,7 +151,13 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     pinned by tests). Only valid for len(planes) <= 62."""
     out = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(w)) for w in plane])
+        # one array literal per plane (single py4j call) — bit-identical
+        # doubles to the per-element F.lit form, but ~10x cheaper to
+        # BUILD: the per-element form cost one py4j round trip per
+        # weight, which at dim x n_bits literals dominated the whole
+        # query wall time at fixture scale (measured r9: ann_topk spent
+        # 2.5s of 3.0s in driver-side plan construction).
+        arr = F.lit([float(w) for w in plane])
         s = dot_expr(vec, arr)
         out = out + F.when(s > 0, F.lit(2 ** i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
@@ -191,6 +197,56 @@ def _resolve_srp_family(
 # stay far below the threshold, so every oracle-gated query keeps the
 # value-exact JVM plan.
 SRP_ARROW_GEMM_THRESHOLD = 32768
+
+
+def _fmt_double_sql(w: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    decimal form and Java's Double.parseDouble inverts it bit-exactly,
+    so CAST('<repr>' AS DOUBLE) reproduces the Python float."""
+    return f"CAST('{w!r}' AS DOUBLE)"
+
+
+def _dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """SQL text of dot_expr(vec, lit(plane)) — the same
+    aggregate/zip_with fold, same left-to-right float summation order,
+    so the value is bit-identical to the Column-built form."""
+    arr = "array(" + ",".join(_fmt_double_sql(float(w)) for w in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _srp_bands_expr(
+    vec_col: str, planes: list[list[float]], n_bits: int, n_bands: int
+) -> Column:
+    """The exploded (band_id, band_value) struct column of _srp_bands,
+    assembled as ONE SQL string parsed JVM-side via F.expr.
+
+    Value-identical to the per-plane Column construction (same
+    aggregate/zip_with dot folds, same CASE-sum bit packing, same
+    left-associated additions) but ~1000x fewer py4j round trips: the
+    Column form paid one gateway call per plane weight (dim x n_bits
+    calls — measured r9: 2.5s of ann_topk's 3.0s wall was driver-side
+    expression construction; this form is ~30ms)."""
+    bits_per_band = n_bits // n_bands
+    vec_sql = f"`{vec_col}`"
+    structs = []
+    for b in range(n_bands):
+        group = planes[b * bits_per_band: (b + 1) * bits_per_band]
+        bv = "CAST(0 AS BIGINT)"
+        for j, plane in enumerate(group):
+            bv += (
+                f" + (CASE WHEN ({_dot_sql(vec_sql, plane)}) > 0 "
+                f"THEN CAST({2 ** j} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        structs.append(
+            f"named_struct('band_id', CAST({b} AS BIGINT), "
+            f"'band_value', {bv})"
+        )
+    return F.explode(F.expr("array(" + ",".join(structs) + ")"))
 
 
 def _srp_bands(
@@ -242,19 +298,6 @@ def _srp_bands(
     if impl != "jvm":
         raise ValueError(f"impl must be 'jvm', 'arrow' or None, got {impl!r}")
     df = df.filter(F.col(vec_col).isNotNull())
-    bits_per_band = n_bits // n_bands
-
-    def band_value(b: int) -> Column:
-        group = planes[b * bits_per_band: (b + 1) * bits_per_band]
-        out = F.lit(0).cast("bigint")
-        for j, plane in enumerate(group):
-            arr = F.array(*[F.lit(float(w)) for w in plane])
-            s = dot_expr(F.col(vec_col), arr)
-            out = out + F.when(
-                s > 0, F.lit(2 ** j).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        return out
-
     cols = [F.col(key_col).alias(out_key)]
     if carry_vec:
         cols.append(F.col(vec_col).alias(f"_v_{out_key}"))
@@ -265,15 +308,7 @@ def _srp_bands(
     ]
     return df.select(
         *cols,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).cast("bigint").alias("band_id"),
-                    band_value(b).alias("band_value"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bv"),
+        _srp_bands_expr(vec_col, planes, n_bits, n_bands).alias("bv"),
     ).select(*keep, "bv.band_id", "bv.band_value")
 
 
