@@ -484,8 +484,9 @@ def embedding_near_dups(
     rounding error of ``threshold`` may flip, which the driver row
     gates on pair-set agreement >= 0.9 (VERDICT r6 item 2)."""
     from zh_ner_tf_spark.operators.similarity import (
-        cosine_expr,
+        dot_expr,
         lsh_candidates,
+        norm_expr,
         quantize_embeddings,
     )
 
@@ -493,22 +494,36 @@ def embedding_near_dups(
         pairs = lsh_candidates(emb, key_col, vec_col,
                                n_bits=n_bits, n_bands=n_bands,
                                n_rows=n_rows, dim=dim)
+    # Norms are hoisted into the per-VECTOR side projections instead of
+    # being re-derived per PAIR inside cosine_expr: a vector that
+    # appears in m candidate pairs had its norm fold interpreted m
+    # times (higher-order functions are CodegenFallback), which was
+    # 2/3 of the rescore's per-pair expression work — at sf0.1 the
+    # rescore evaluated ~50M interpreted lambda steps over 132k pairs
+    # (r9 measurement). dot/(na*nb) multiplies the SAME doubles in the
+    # same order as cosine_expr, so the rounded value is bit-identical.
     if int8_rescore:
         qed = quantize_embeddings(emb, vec_col, "_q8", "_s8")
         a = qed.select(F.col(key_col).alias("src"),
-                       F.col("_q8").alias("_qa"))
+                       F.col("_q8").alias("_qa"),
+                       norm_expr(F.col("_q8")).alias("_na"))
         b = qed.select(F.col(key_col).alias("dst"),
-                       F.col("_q8").alias("_qb"))
+                       F.col("_q8").alias("_qb"),
+                       norm_expr(F.col("_q8")).alias("_nb"))
         joined = pairs.select("src", "dst").join(a, "src").join(b, "dst")
-        cos = cosine_expr(F.col("_qa"), F.col("_qb"))
+        cos = dot_expr(F.col("_qa"), F.col("_qb")) / (
+            F.col("_na") * F.col("_nb")
+        )
         return (
             joined.select("src", "dst", F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
-    a = emb.select(F.col(key_col).alias("src"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(key_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    a = emb.select(F.col(key_col).alias("src"), F.col(vec_col).alias("_va"),
+                   norm_expr(F.col(vec_col)).alias("_na"))
+    b = emb.select(F.col(key_col).alias("dst"), F.col(vec_col).alias("_vb"),
+                   norm_expr(F.col(vec_col)).alias("_nb"))
     joined = pairs.select("src", "dst").join(a, "src").join(b, "dst")
-    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    cos = dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         joined.select("src", "dst", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)

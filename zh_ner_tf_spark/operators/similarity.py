@@ -57,16 +57,27 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, cosine, rank). Ties are
     broken by vec_id ascending (deterministic)."""
+    # norms hoisted into the per-VECTOR projections (bit-identical to
+    # cosine_expr — same doubles, same multiply order): the fold-based
+    # norm is interpreted (CodegenFallback), so deriving it once per
+    # vector instead of once per (query, vector) pair cuts the scored
+    # cross join's interpreted work ~3x (r9)
     q = F.broadcast(
         queries.select(
-            F.col(query_key), F.col(vec_col).alias("_qv")
+            F.col(query_key), F.col(vec_col).alias("_qv"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
         )
     )
-    c = corpus.select(F.col(key_col), F.col(vec_col).alias("_cv"))
+    c = corpus.select(F.col(key_col), F.col(vec_col).alias("_cv"),
+                      norm_expr(F.col(vec_col)).alias("_cn"))
     scored = q.crossJoin(c).select(
         query_key,
         key_col,
-        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_key).orderBy(
         F.col("cosine").desc(), F.col(key_col).asc()
@@ -655,18 +666,26 @@ def ivf_topk(
     cent_bc = spark.sparkContext.broadcast(cent)
     c_assign = _ivf_assign_udf(cent_bc, 1)
     q_assign = _ivf_assign_udf(cent_bc, nprobe)
+    # norms hoisted per vector (not per scored pair) — bit-identical to
+    # cosine_expr; see brute_force_topk
     c = corpus.select(
         F.col(key_col), F.col(vec_col).alias("_cv"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
         F.element_at(c_assign(F.col(vec_col)), 1).alias("cid"),
     )
     q = queries.select(
         F.col(query_key), F.col(vec_col).alias("_qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
         F.explode(q_assign(F.col(vec_col))).alias("cid"),
     )
     scored = F.broadcast(q).join(c, "cid").select(
         query_key,
         key_col,
-        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_key).orderBy(
         F.col("cosine").desc(), F.col(key_col).asc()
