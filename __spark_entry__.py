@@ -409,13 +409,18 @@ def q_bio_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_eval_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one fused pass emits both tag columns (localCheckpoint: tokenize +
-    # tagging window run once), then the FUSED scorer extracts gold and
-    # pred spans from one window sort and skips mention-string assembly
-    # (conlleval_prf1_fused — VERDICT r7 item 7; value-equal to the
-    # two-frame scorer, pytest-pinned)
-    fused = _rule_tagged_both(_tokens(spark, sf_dir)).localCheckpoint()
-    return conlleval_prf1_fused(fused, ["doc_id"], "pos")
+    # one fused pass emits both tag columns, then the FUSED scorer
+    # extracts gold and pred spans from one window sort and scores them
+    # with the single count-based aggregation chain (conlleval_prf1_fused
+    # — value-equal to the two-frame scorer, pytest-pinned). The r8-era
+    # eager localCheckpoint here is gone (r9): the scorer now consumes
+    # the fused frame exactly once, so materializing it only added a
+    # full extra pass — and the tagging lag and the scorer's span
+    # windows share one window spec, so Catalyst collapses them into a
+    # single Window operator when nothing sits between them.
+    return conlleval_prf1_fused(
+        _rule_tagged_both(_tokens(spark, sf_dir)), ["doc_id"], "pos"
+    )
 
 
 def q_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,20 +218,61 @@ def conlleval_prf1_fused(
         .filter(F.col("s.is_ent"))
         .select(*id_cols, "pos", "s.side", "s.etype", "s.span_id")
     )
-    spans = (
-        stacked.groupBy(*id_cols, "side", "span_id")
+    spans = stacked.groupBy(*id_cols, "side", "span_id").agg(
+        F.first("etype").alias("etype"),
+        F.min("pos").cast("int").alias("begin"),
+        F.max("pos").cast("int").alias("end"),
+    )
+    # Count-based scoring tail (r9): spans are unique per
+    # (id..., etype, begin, end) WITHIN a side, so grouping the stacked
+    # span rows by that key yields per-group side flags in {0, 1} and
+    #   guessed = sum(_p), gold = sum(_g), correct = sum(_p * _g)
+    # — integer-for-integer the numbers _score_spans derived from the
+    # pred-side left join + gold groupBy. The previous two-branch shape
+    # (g/p filters into a join) raced its lazy checkpoint: the join's
+    # broadcast-exchange futures ran concurrently and each re-executed
+    # the whole window+groupBy span pipeline (r9 measured the pipeline
+    # twice, ~4.8s CPU each, inside one eval_prf1 call at sf0.1). The
+    # single-consumer chain runs it once and needs no checkpoint; both
+    # span aggregations also cluster on a superset of the window's
+    # id_cols partitioning, so neither needs its own exchange.
+    per_span = spans.groupBy(*id_cols, "etype", "begin", "end").agg(
+        F.max((F.col("side") == "g").cast("int")).alias("_g"),
+        F.max((F.col("side") == "p").cast("int")).alias("_p"),
+    )
+    per_type = (
+        per_span.groupBy("etype")
         .agg(
-            F.first("etype").alias("etype"),
-            F.min("pos").cast("int").alias("begin"),
-            F.max("pos").cast("int").alias("end"),
+            F.sum("_p").alias("guessed"),
+            F.sum("_g").alias("gold"),
+            F.sum(F.col("_p") * F.col("_g")).alias("correct"),
         )
-        .drop("span_id")
-        # both scoring branches read this; lazy checkpoint keeps the
-        # single window+groupBy from running twice
+        # consumed by the union below AND the overall rollup — the lazy
+        # checkpoint keeps the (tiny) frame from recomputing upstream
         .localCheckpoint(eager=False)
     )
-    return _score_spans(
-        spans.filter(F.col("side") == "g").drop("side"),
-        spans.filter(F.col("side") == "p").drop("side"),
-        id_cols,
+    overall = per_type.agg(
+        F.lit("__overall__").alias("etype"),
+        F.sum("guessed").alias("guessed"),
+        F.sum("gold").alias("gold"),
+        F.sum("correct").alias("correct"),
+    )
+    both = per_type.unionByName(overall)
+    prec = F.when(
+        F.col("guessed") > 0, F.col("correct") / F.col("guessed")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("gold") > 0, F.col("correct") / F.col("gold")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return both.select(
+        "etype",
+        F.col("guessed").cast("bigint"),
+        F.col("gold").cast("bigint"),
+        F.col("correct").cast("bigint"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )

@@ -72,17 +72,40 @@ def build_vocab(
         F.row_number().over(w).cast("int").alias("id"),
         F.col("count"),
     )
-    n = body.count()
-    spark = tokens.sparkSession
-    reserved = spark.createDataFrame(
-        [(UNK_TOKEN, n + 1, 0), (PAD_TOKEN, 0, 0)],
-        "token string, id int, count bigint",
-    )
+    body = body.localCheckpoint(eager=False)
+    # Reserved rows DERIVED lazily from the numbered body instead of a
+    # driver-side body.count() (r9): the count() was a separate action
+    # that executed the whole corpus aggregation once just to number
+    # <UNK>, and then the real consumer executed it again — one action,
+    # half the work. Ids are dense from 1, so max(id) over the
+    # UNFILTERED body == the old pre-filter count() exactly (including
+    # reserved-name collision rows, which the old n counted before the
+    # filter dropped them); coalesce keeps the empty-vocab case at
+    # <UNK> = 1. The lazy checkpoint lets the reserved branch reuse the
+    # materialized body rather than re-running the corpus aggregation.
+    reserved = body.agg(
+        F.coalesce(F.max("id"), F.lit(0)).alias("_m")
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(UNK_TOKEN).alias("token"),
+                    (F.col("_m") + 1).cast("int").alias("id"),
+                    F.lit(0).cast("bigint").alias("count"),
+                ),
+                F.struct(
+                    F.lit(PAD_TOKEN).alias("token"),
+                    F.lit(0).cast("int").alias("id"),
+                    F.lit(0).cast("bigint").alias("count"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.token", "_r.id", "_r.count")
     # <UNK>/<PAD> may legitimately appear in a weird corpus; reference
     # semantics treat the reserved names as reserved, so drop collisions.
-    return body.filter(~F.col("token").isin(UNK_TOKEN, PAD_TOKEN)).unionByName(
-        reserved
-    )
+    return body.filter(
+        ~F.col("token").isin(UNK_TOKEN, PAD_TOKEN)
+    ).unionByName(reserved)
 
 
 def vocab_to_dict(vocab_df: DataFrame) -> dict[str, int]:
