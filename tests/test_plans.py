@@ -263,17 +263,19 @@ def test_similarity_queries_have_no_nested_loop_join(spark):
         assert "NestedLoop" not in plan and "Cartesian" not in plan, name
 
 
-def test_winnow_has_single_shuffle(spark):
-    """Winnowing = one Arrow pass (positional grams, no shuffle) + ONE
-    window shuffle on the doc key; a second Exchange would mean the
-    fingerprint dedup re-shuffles instead of riding the window
-    partitioning."""
+def test_winnow_has_no_shuffle(spark):
+    """Winnowing is a pure per-document function computed inside one
+    Arrow pass (r9) — the plan must contain NO Exchange and no Window:
+    any shuffle would mean the sliding-window min or the fingerprint
+    dedup degraded back to a corpus-wide wide operation (the r8 shape
+    paid one window shuffle on the doc key)."""
     from zh_ner_tf_spark.operators.dedup import winnow_fingerprints
 
     docs = load_table(spark, SF, "documents")
     plan = _plan(winnow_fingerprints(docs, "doc_id", "text"))
     n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
-    assert n_exchanges == 1, plan
+    assert n_exchanges == 0, plan
+    assert "Window" not in plan
 
 
 def test_aqe_splits_skewed_join_at_runtime(spark):

@@ -104,31 +104,24 @@ def minhash_bands_table(
     n_bands: int = MINHASH_BANDS,
     seed: int = SEED,
 ) -> DataFrame:
-    """(key, band_id, band_value) over word-k-gram shingles via exploded
-    gram rows + one hash aggregate of n_hashes min-expressions — the
-    document-scale LSH signature path (codegen'd aggregates, no per-array
-    lambda folds)."""
-    from zh_ner_tf_spark.operators.dedup import ngram_hash_rows
+    """(key, band_id, band_value) over word-k-gram shingles, the whole
+    signature computed inside ONE Arrow-vectorized pass
+    (dedup.minhash_bands_udf) — zero shuffle. A document's MinHash
+    signature is a pure function of its text, so the r8 shape (explode
+    per-doc gram rows, shuffle them to a 16-min hash aggregate) moved
+    |corpus grams| rows to compute per-doc-local sketches; this form is
+    embarrassingly parallel at any corpus size and the band self-join
+    downstream remains the only wide op. Same integer arithmetic
+    (min((a*gh+b) % P) per family member, v*P+s band packing); NULL
+    docs emit no band rows (explode of NULL), as before."""
+    from zh_ner_tf_spark.operators.dedup import minhash_bands_gen
 
     fam = hash_family(n_hashes, seed)
-    rows = ngram_hash_rows(df, key_col, text_col, k)
-    mins = [
-        F.min((F.lit(a) * F.col("gh") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
-        for i, (a, b) in enumerate(fam)
-    ]
-    sig = rows.groupBy("_k").agg(*mins)
-    rows_per_band = n_hashes // n_bands
-    bands = []
-    for b in range(n_bands):
-        v = F.lit(0).cast("bigint")
-        for r in range(rows_per_band):
-            v = v * MINHASH_PRIME + F.col(f"s{b * rows_per_band + r}")
-        bands.append(
-            F.struct(F.lit(b).cast("bigint").alias("band_id"), v.alias("band_value"))
-        )
-    return sig.select(
-        F.col("_k").alias(key_col), F.explode(F.array(*bands)).alias("bv")
-    ).select(key_col, "bv.band_id", "bv.band_value")
+    key_t = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, text_col).mapInPandas(
+        minhash_bands_gen(key_col, text_col, k, fam, n_bands),
+        schema=f"{key_col} {key_t}, band_id bigint, band_value bigint",
+    )
 
 
 def banded_pairs_salted(

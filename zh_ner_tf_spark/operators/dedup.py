@@ -241,6 +241,171 @@ def gram_hashes_udf(n: int, distinct: bool = True):
     return _grams
 
 
+def _seg_starts(counts):
+    """reduceat segment starts for per-doc slices of a concat array."""
+    import numpy as np
+
+    return np.concatenate(([0], np.cumsum(counts[:-1])))
+
+
+def minhash_bands_gen(
+    key_col: str, text_col: str, n: int, fam: list[tuple[int, int]],
+    n_bands: int,
+):
+    """mapInPandas generator: (key, text) batches -> flat (key, band_id,
+    band_value) MinHash band rows, the whole sketch (grams -> per-perm
+    mins -> band packing) computed per document inside the UDF — NO
+    explode + groupBy shuffle (the r8 shape shuffled every (doc, gram)
+    row to aggregate mins), and the output columns are plain int64
+    ndarrays (no per-row Python structs on the Arrow boundary).
+    Integer arithmetic identical to the old aggregate form:
+    min((a*gh + b) % P) over the distinct gram hashes, band value folds
+    rows-per-band mins as v*P + s; NULL-text docs emit no rows."""
+    import numpy as np
+
+    P = MINHASH_PRIME
+    n_hashes = len(fam)
+    rows_per_band = n_hashes // n_bands
+    a_arr = np.array([a for a, _ in fam], dtype=np.int64)
+    b_arr = np.array([b for _, b in fam], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            grams = _gram_hashes_batch(pdf[text_col], n, distinct=True)
+            live = [i for i, g in enumerate(grams) if g is not None]
+            if not live:
+                continue
+            counts = np.fromiter((len(grams[i]) for i in live),
+                                 dtype=np.int64, count=len(live))
+            flat = np.concatenate([np.asarray(grams[i], dtype=np.int64)
+                                   for i in live])
+            starts = _seg_starts(counts)
+            # [D, n_hashes] per-doc mins; a*gh < P^2 < 2^62 stays in
+            # int64, exactly the JVM bigint arithmetic
+            mins = np.stack([
+                np.minimum.reduceat((a_arr[j] * flat + b_arr[j]) % P, starts)
+                for j in range(n_hashes)
+            ], axis=1)
+            vals = np.zeros((len(live), n_bands), dtype=np.int64)
+            for band in range(n_bands):
+                v = np.zeros(len(live), dtype=np.int64)
+                for r in range(rows_per_band):
+                    v = v * P + mins[:, band * rows_per_band + r]
+                vals[:, band] = v
+            keys = pdf[key_col].to_numpy()[live]
+            yield pd.DataFrame({
+                key_col: np.repeat(keys, n_bands),
+                "band_id": np.tile(
+                    np.arange(n_bands, dtype=np.int64), len(live)
+                ),
+                "band_value": vals.ravel(),
+            })
+
+    return gen
+
+
+def simhash_udf(n: int, bits: int):
+    """Arrow-vectorized pandas UDF: text -> simhash bigint (NULL for
+    NULL text). Per-bit majority votes over the document's DISTINCT
+    word-n-gram hashes — the same integers simhash_table's groupBy
+    votes summed, computed per document with no shuffle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        grams = _gram_hashes_batch(texts, n, distinct=True)
+        live = [i for i, g in enumerate(grams) if g is not None]
+        out = np.full(len(grams), np.nan, dtype=object)
+        if live:
+            counts = np.fromiter((len(grams[i]) for i in live),
+                                 dtype=np.int64, count=len(live))
+            flat = np.concatenate([np.asarray(grams[i], dtype=np.int64)
+                                   for i in live])
+            starts = _seg_starts(counts)
+            val = np.zeros(len(live), dtype=np.int64)
+            for b in range(bits):
+                votes = np.add.reduceat(
+                    ((flat >> b) & 1) * 2 - 1, starts
+                )
+                val += np.where(votes > 0, 1 << b, 0)
+            for d, i in enumerate(live):
+                out[i] = int(val[d])
+        return pd.Series(out, dtype=object)
+
+    return _simhash
+
+
+def winnow_gen(key_col: str, text_col: str, n: int, w: int):
+    """mapInPandas generator: (key, text) batches -> flat (key, fp_pos,
+    fp_hash) winnowing fingerprint rows, the whole sketch computed
+    inside the UDF with ONE segmented NumPy pass over the batch. Same
+    integer encoding as the window form: per position the min over w
+    consecutive encoded grams ``gh * 2^32 + (2^32 - 1 - pos)`` (ties to
+    the RIGHTMOST position), positions capped at max(m - w, 0),
+    distinct (pos, hash) pairs per doc. The sliding min runs globally
+    over the batch's concatenated gram stream; windows that would cross
+    a document boundary are masked out, and docs with fewer than w
+    grams take a per-segment min — so there is no per-document Python
+    loop and no per-row struct objects on the Arrow boundary. NULL-text
+    docs emit no rows."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mask_pos = (1 << 32) - 1
+
+    def gen(batches):
+        for pdf in batches:
+            grams = _gram_hashes_batch(pdf[text_col], n, distinct=False)
+            live = [i for i, g in enumerate(grams) if g is not None]
+            if not live:
+                continue
+            counts = np.fromiter((len(grams[i]) for i in live),
+                                 dtype=np.int64, count=len(live))
+            flat = np.concatenate([np.asarray(grams[i], dtype=np.int64)
+                                   for i in live])
+            starts = _seg_starts(counts)
+            total = len(flat)
+            doc_of = np.repeat(np.arange(len(live)), counts)
+            pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+                starts, counts
+            )
+            enc = flat * (1 << 32) + (mask_pos - pos_in_doc)
+            # full windows: global sliding min, keep windows whose ends
+            # fall in the same doc (start pos then automatically
+            # <= m - w, the window form's position cap)
+            if total >= w:
+                wins = sliding_window_view(enc, w).min(axis=1)
+                valid = doc_of[: total - w + 1] == doc_of[w - 1:]
+                vdoc = doc_of[: total - w + 1][valid]
+                vval = wins[valid]
+            else:
+                vdoc = np.empty(0, dtype=np.int64)
+                vval = np.empty(0, dtype=np.int64)
+            # short docs (< w grams) winnow their single whole-length
+            # window — a per-segment min
+            short = np.flatnonzero(counts < w)
+            if len(short):
+                seg_mins = np.minimum.reduceat(enc, starts)
+                vdoc = np.concatenate([vdoc, short])
+                vval = np.concatenate([vval, seg_mins[short]])
+            # distinct (doc, fingerprint) pairs
+            order = np.lexsort((vval, vdoc))
+            vdoc, vval = vdoc[order], vval[order]
+            if len(vval):
+                keep = np.ones(len(vval), dtype=bool)
+                keep[1:] = (vdoc[1:] != vdoc[:-1]) | (vval[1:] != vval[:-1])
+                vdoc, vval = vdoc[keep], vval[keep]
+            keys = pdf[key_col].to_numpy()[live]
+            yield pd.DataFrame({
+                key_col: keys[vdoc],
+                "fp_pos": mask_pos - (vval & mask_pos),
+                "fp_hash": vval >> 32,
+            })
+
+    return gen
+
+
 def ngram_hash_rows(
     df: DataFrame, key_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -272,27 +437,18 @@ def simhash_table(
     bits: int = 16,
     n: int = 2,
 ) -> DataFrame:
-    """(key, simhash) via exploded gram rows + one hash aggregate with
-    per-bit majority votes — equivalent to ``simhash`` but scales as a
-    groupBy, not as nested array lambdas."""
-    rows = ngram_hash_rows(df, key_col, text_col, n)
-    votes = [
-        F.sum(
-            F.when(F.shiftright("gh", b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = rows.groupBy("_k").agg(*votes)
-    val = sum(
-        (
-            F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-            for b in range(bits)
-        ),
-        F.lit(0).cast("bigint"),
-    )
-    return agg.select(F.col("_k").alias(key_col), val.alias("simhash"))
+    """(key, simhash) with the whole sketch computed inside ONE
+    Arrow-vectorized pass (simhash_udf) — zero shuffle. A document's
+    simhash is a pure function of its text, so the r8 shape (explode
+    every gram row, shuffle them to a per-doc vote aggregate) moved
+    |corpus tokens| rows for nothing; this form is embarrassingly
+    parallel at any scale. Same integers (per-bit majority votes over
+    distinct gram hashes); NULL-text docs emit no row, exactly like the
+    groupBy form they contributed no gram rows to."""
+    return df.select(
+        F.col(key_col),
+        simhash_udf(n, bits)(F.col(text_col)).alias("simhash"),
+    ).filter(F.col("simhash").isNotNull())
 
 
 def ngram_jaccard_pairs(
@@ -411,42 +567,27 @@ def winnow_fingerprints(
     Guarantee: any shared substring of >= n+w-1 tokens between two
     documents shares at least one fingerprint hash.
 
-    Spark shape: positional gram hashes from one Arrow pass (no
-    shuffle), then ONE window pass per doc. The min-with-rightmost-tie
-    is a single bigint window min over the encoding
+    Spark shape (r9): the ENTIRE sketch — positional gram hashes,
+    sliding-window min with rightmost tie-break via the encoding
     ``gh * 2^32 + (2^32-1 - pos)`` (gh < 2^31 = MINHASH_PRIME, so the
-    encoding fits int64 and orders by (gh asc, pos desc)) — expressible
-    identically in the DuckDB oracle. Documents shorter than ``w`` grams
-    winnow their single whole-length window.
+    encoding fits int64 and orders by (gh asc, pos desc)), and the
+    per-doc distinct — runs inside ONE Arrow-vectorized pass
+    (winnow_udf): a document's fingerprint set is a pure function of
+    its text, so the previous shape (explode every positional gram,
+    shuffle for the per-doc window sort, shuffle again for distinct)
+    moved every token of every document for per-doc-local work. Zero
+    shuffles now; cross-doc duplicates are impossible (the doc key is
+    part of every output row), so the in-UDF distinct is the whole
+    distinct. Documents shorter than ``w`` grams winnow their single
+    whole-length window. The encoding is still expressible identically
+    in the DuckDB oracle.
 
     Output: (key_col, fp_pos, fp_hash) distinct rows.
     """
-    rows = positional_gram_rows(df, key_col, text_col, n)
-    win = (
-        Window.partitionBy("_k")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    all_rows = Window.partitionBy("_k")
-    enc = F.col("gh") * F.lit(2 ** 32).cast("bigint") + (
-        F.lit(2 ** 32 - 1).cast("bigint") - F.col("pos")
-    )
-    c = rows.select(
-        "_k",
-        "pos",
-        F.min(enc).over(win).alias("c"),
-        F.count(F.lit(1)).over(all_rows).alias("m"),
-    )
-    return (
-        c.filter(F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0)))
-        .select(
-            F.col("_k").alias(key_col),
-            (F.lit(2 ** 32 - 1).cast("bigint")
-             - F.col("c").bitwiseAND(F.lit(2 ** 32 - 1).cast("bigint"))
-             ).alias("fp_pos"),
-            F.shiftright(F.col("c"), 32).alias("fp_hash"),
-        )
-        .distinct()
+    key_t = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, text_col).mapInPandas(
+        winnow_gen(key_col, text_col, n, w),
+        schema=f"{key_col} {key_t}, fp_pos bigint, fp_hash bigint",
     )
 
 
