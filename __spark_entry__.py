@@ -65,7 +65,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tokenize(_docs(spark, sf_dir), "text", ["doc_id"])
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    # the documents table is a single-row-group parquet file, so its
+    # scan is ONE task and every token pipeline chained on it
+    # (tokenize/window/aggregate) starts serial; ensure_parallelism is
+    # a no-op once inputs are partitioned >= session cores (guide §2.5)
+    return tokenize(
+        ensure_parallelism(_docs(spark, sf_dir)), "text", ["doc_id"]
+    )
 
 
 def _class_expr(org_words: tuple[str, ...], hi: str) -> F.Column:
@@ -1402,7 +1410,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    # regex-heavy projection over an unsplittable one-row-group scan:
+    # spread it (no-op at production partition counts)
+    docs = ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
     return quality_features(docs).drop("text")
 
 

@@ -265,16 +265,20 @@ def test_similarity_queries_have_no_nested_loop_join(spark):
 
 def test_winnow_has_no_shuffle(spark):
     """Winnowing is a pure per-document function computed inside one
-    Arrow pass (r9) — the plan must contain NO Exchange and no Window:
-    any shuffle would mean the sliding-window min or the fingerprint
-    dedup degraded back to a corpus-wide wide operation (the r8 shape
-    paid one window shuffle on the doc key)."""
+    Arrow pass (r9) — the plan must contain no Window and no
+    KEYED Exchange: a hashpartitioning shuffle would mean the
+    sliding-window min or the fingerprint dedup degraded back to a
+    corpus-wide wide operation (the r8 shape paid one window shuffle on
+    the doc key). A ROUND-ROBIN Exchange is permitted: that is
+    ensure_parallelism repairing an under-partitioned scan (the
+    testdata table is a single-row-group parquet file that scans as one
+    task), and it disappears on production-partitioned inputs."""
     from zh_ner_tf_spark.operators.dedup import winnow_fingerprints
 
     docs = load_table(spark, SF, "documents")
     plan = _plan(winnow_fingerprints(docs, "doc_id", "text"))
-    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
-    assert n_exchanges == 0, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert "Window" not in plan
 
 

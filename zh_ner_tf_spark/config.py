@@ -82,6 +82,16 @@ DEFAULT_SALT_BUCKETS = 8
 SPARK_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE's coalesce floor defaults to 1 MB per partition, which
+    # squeezes CPU-dense small exchanges (token windows, vector
+    # rescores: kilobytes of compact rows carrying interpreted-
+    # expression or GEMM work) onto 1-3 tasks while the session idles —
+    # measured r9: the 270k-token window stage ran on 3 tasks at 0.65s
+    # each. 64 KB still coalesces pathological tiny partitions but lets
+    # parallelism-first sizing use the cores; on production-sized
+    # shuffles (partitions >> 1 MB) the floor never binds, so this is
+    # scale-neutral.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Arrow batch size ≙ reference batch_size (main.py:≈18 [R]); tuned larger

@@ -115,10 +115,11 @@ def minhash_bands_table(
     (min((a*gh+b) % P) per family member, v*P+s band packing); NULL
     docs emit no band rows (explode of NULL), as before."""
     from zh_ner_tf_spark.operators.dedup import minhash_bands_gen
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
 
     fam = hash_family(n_hashes, seed)
     key_t = df.schema[key_col].dataType.simpleString()
-    return df.select(key_col, text_col).mapInPandas(
+    return ensure_parallelism(df.select(key_col, text_col)).mapInPandas(
         minhash_bands_gen(key_col, text_col, k, fam, n_bands),
         schema=f"{key_col} {key_t}, band_id bigint, band_value bigint",
     )

@@ -424,7 +424,9 @@ def ngram_hash_rows(
     into every element_at reference — quadratic per document.)
     Documents with fewer than n tokens (including zero) contribute one
     whole-doc fold (matching word_ngram_hashes / the oracle SQL)."""
-    return df.select(
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    return ensure_parallelism(df.select(key_col, text_col)).select(
         F.col(key_col).alias("_k"),
         F.explode(gram_hashes_udf(n)(F.col(text_col))).alias("gh"),
     )
@@ -445,7 +447,9 @@ def simhash_table(
     parallel at any scale. Same integers (per-bit majority votes over
     distinct gram hashes); NULL-text docs emit no row, exactly like the
     groupBy form they contributed no gram rows to."""
-    return df.select(
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    return ensure_parallelism(df.select(key_col, text_col)).select(
         F.col(key_col),
         simhash_udf(n, bits)(F.col(text_col)).alias("simhash"),
     ).filter(F.col("simhash").isNotNull())
@@ -545,7 +549,9 @@ def positional_gram_rows(
     """(_k, pos, gh) rows: word-n-gram hashes in POSITIONAL order (not
     deduped) — the input sequence winnowing slides its window over.
     Same Arrow-vectorized construction as ngram_hash_rows; no shuffle."""
-    return df.select(
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    return ensure_parallelism(df.select(key_col, text_col)).select(
         F.col(key_col).alias("_k"),
         F.posexplode(
             gram_hashes_udf(n, distinct=False)(F.col(text_col))
@@ -584,8 +590,10 @@ def winnow_fingerprints(
 
     Output: (key_col, fp_pos, fp_hash) distinct rows.
     """
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
     key_t = df.schema[key_col].dataType.simpleString()
-    return df.select(key_col, text_col).mapInPandas(
+    return ensure_parallelism(df.select(key_col, text_col)).mapInPandas(
         winnow_gen(key_col, text_col, n, w),
         schema=f"{key_col} {key_t}, fp_pos bigint, fp_hash bigint",
     )

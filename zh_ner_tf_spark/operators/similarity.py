@@ -425,7 +425,12 @@ def lsh_candidates(
     preserving (tested), so explicit fixture-scale params stay oracle-
     exact."""
     from zh_ner_tf_spark.operators.blocking import banded_pairs_salted
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
 
+    # banding interprets n_bits plane-dot folds per row — CPU-dense
+    # enough that a single-row-group parquet scan (one task) serializes
+    # it; no-op when the corpus is already partitioned >= session cores
+    emb = ensure_parallelism(emb)
     if dim is None:
         first = emb.select(F.size(vec_col).alias("d")).first()
         if first is None:  # empty corpus: no pairs
@@ -828,6 +833,11 @@ def ann_candidate_pairs(
             _srp_bands(queries, query_key, vec_col, planes, n_bits,
                        n_bands, "qid", carry_vec=carry_vec)
         )
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    # corpus-side banding is the CPU-dense projection here (query side
+    # is broadcast-tiny); see lsh_candidates
+    corpus = ensure_parallelism(corpus)
     if int8_rescore:
         corpus_q = quantize_embeddings(corpus, vec_col, "_q8", "_s8")
         cb = _srp_bands(

@@ -501,7 +501,17 @@ def tag_sentences(
         schema = f"{id_schema}, {chars_col} string, mentions {MENTION_STRUCT}"
     else:
         raise ValueError(f"emit={emit!r}")
-    return df.select(*id_cols, chars_col).mapInPandas(fn, schema=schema)
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    # The tagger is GEMM-bound — by far the most CPU per input byte in
+    # the engine — so an under-partitioned input (e.g. a single-row-
+    # group parquet shard scanning as ONE task) serializes it while the
+    # session idles. ensure_parallelism round-robins the narrow
+    # (ids, chars) projection up to the session parallelism ONLY in
+    # that case; production-sized inputs pass through untouched.
+    return ensure_parallelism(
+        df.select(*id_cols, chars_col)
+    ).mapInPandas(fn, schema=schema)
 
 
 def broadcast_model(spark, weights: dict[str, np.ndarray], word2id: dict[str, int]):
