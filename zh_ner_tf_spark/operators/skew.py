@@ -43,13 +43,22 @@ def hot_key_census(
     df: DataFrame, key_cols: list[str], factor: int = HOT_KEY_FACTOR
 ) -> DataFrame:
     """Keys whose row count exceeds ``factor`` * mean-rows-per-key.
-    Empty input has no mean and no hot keys — returns the empty frame."""
+    Empty input has no mean and no hot keys — returns the empty frame.
+
+    Fully LAZY (r9): the mean rides a broadcast 1-row crossJoin instead
+    of a driver-side collect, so the census folds into its consumer's
+    query DAG as a broadcast-build subtree (scheduled concurrently with
+    the consumer's other stages) rather than a blocking action chain —
+    the collect form cost ~0.5s of sequential small jobs per salted
+    self-join at sf0.1. Same key set: n > factor * mean over the same
+    counts; a NULL mean (empty input) fails the comparison, which is
+    the old empty-frame branch."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    stats = counts.agg(F.avg("n").alias("mean_n")).collect()[0]
-    if stats["mean_n"] is None:
-        return counts.select(*key_cols, "n").limit(0)
-    return counts.filter(F.col("n") > factor * float(stats["mean_n"])).select(
-        *key_cols, "n"
+    mean = counts.agg(F.avg("n").alias("_mean_n"))
+    return (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > factor * F.col("_mean_n"))
+        .select(*key_cols, "n")
     )
 
 
