@@ -460,28 +460,30 @@ def _gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("end").alias("s_end"), "o_begin", "obj",
         )
     )
-    gap = (
-        pairs.join(
-            toks,
-            (pairs["doc_id"] == toks["doc_id"])
-            & (toks["pos"] > pairs["s_end"])
-            & (toks["pos"] < pairs["o_begin"]),
-            "left",
-        )
-        .drop(toks["doc_id"])
-        .groupBy("doc_id", "subj", "s_end", "o_begin", "obj")
-        .agg(
-            F.coalesce(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                        lambda x: x["token"],
-                    ),
-                ),
-                F.lit(""),
-            ).alias("gap")
-        )
+    # Gap text via a per-doc token-ARRAY slice (r9): the filtered split
+    # array's element i+1 is exactly tokenize's pos-i token, so the gap
+    # (tokens strictly between s_end and o_begin, joined by ' ') is
+    # concat_ws over slice(toks, s_end + 2, o_begin - s_end - 1) — the
+    # same string the old shape assembled with a per-pair RANGE join
+    # against the exploded token stream plus a collect_list groupBy.
+    # That join fanned out |gap| token rows per candidate pair and the
+    # regroup re-shuffled them; this is one narrow projection join
+    # keyed on doc_id.
+    doc_toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias(
+            "_toks"
+        ),
+    )
+    gap_len = F.col("o_begin") - F.col("s_end") - 1
+    gap = pairs.join(doc_toks, "doc_id").select(
+        "doc_id", "subj", "s_end", "o_begin", "obj",
+        F.when(
+            gap_len > 0,
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("s_end") + 2, gap_len)
+            ),
+        ).otherwise(F.lit("")).alias("gap"),
     )
     # first-listed keyword wins: WHEN chain in priority order
     chain = None

@@ -216,19 +216,35 @@ def lsh_doc_pairs(
     texts are definitionally near-dups) are emitted directly. Signatures
     are computed once per distinct text, not once per copy.
     """
-    ch = df.select(
-        F.col(key_col).alias("_id"),
-        F.md5(F.col(text_col)).alias("_ch"),
-        F.col(text_col).alias("_text"),
+    from pyspark.sql.window import Window
+
+    # ONE hash shuffle derives the whole exact-dup structure (r9): a
+    # per-hash window min marks each doc's representative, so the
+    # member->rep mapping AND the rep rows are narrow reads of one
+    # materialized frame — the previous shape paid a groupBy shuffle
+    # plus a mapping join plus a separate checkpoint action for the
+    # same information.
+    w = Window.partitionBy("_ch")
+    staged = (
+        df.select(
+            F.col(key_col).alias("_id"),
+            F.md5(F.col(text_col)).alias("_ch"),
+            F.col(text_col).alias("_text"),
+        )
+        # NULL texts have no hash and can never pair — the old shape
+        # dropped them implicitly because its mapping join's NULL _ch
+        # keys never matched; the window form must drop them explicitly
+        # or every NULL doc lands in one phantom "exact-dup" group
+        .filter(F.col("_ch").isNotNull())
+        .withColumn("_keep", F.min("_id").over(w))
+        # referenced by reps (banding), both expansion sides and the
+        # intra pairs — materialized once
+        .localCheckpoint()
     )
-    groups = ch.groupBy("_ch").agg(
-        F.min("_id").alias("_keep"), F.first("_text").alias("_text")
+    mapping = staged.select("_keep", "_id")
+    reps = staged.filter(F.col("_id") == F.col("_keep")).select(
+        "_id", "_text"
     )
-    # materialized once: referenced by both expansion sides + intra pairs
-    mapping = (
-        ch.select("_ch", "_id").join(groups.select("_ch", "_keep"), "_ch")
-    ).localCheckpoint()
-    reps = groups.select(F.col("_keep").alias("_id"), F.col("_text"))
     bands = minhash_bands_table(reps, "_id", "_text", k, n_hashes, n_bands, seed)
     rep_pairs = (
         banded_pairs_salted(bands, "_id")
@@ -247,12 +263,16 @@ def lsh_doc_pairs(
         .filter(F.col("_a") < F.col("_b"))
         .select("_a", "_b")
     )
-    return (
-        cross.unionByName(intra)
-        .select(
-            F.least("_a", "_b").alias("src"), F.greatest("_a", "_b").alias("dst")
-        )
-        .distinct()
+    # No trailing distinct (r9): the union is duplicate-free by
+    # construction — rep_pairs is distinct with _ka < _kb, each doc
+    # belongs to exactly one exact-dup group, so an unordered pair
+    # {a, b} determines its (rep-pair, member, member) derivation
+    # uniquely in `cross`; `intra` pairs are unique per (group, a < b);
+    # and the two sets are disjoint (different-group vs same-group
+    # pairs). Dropping it removes a full shuffle of the OUTPUT pair set
+    # — the largest frame in the operator at corpus scale.
+    return cross.unionByName(intra).select(
+        F.least("_a", "_b").alias("src"), F.greatest("_a", "_b").alias("dst")
     )
 
 
