@@ -27,6 +27,7 @@ backstop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -276,6 +277,112 @@ def lsh_doc_pairs(
     )
 
 
+def _shingle_sketch_gen(
+    key_cols: list[str],
+    surface_col: str,
+    k: int,
+    fam: list[tuple[int, int]],
+    n_bands: int,
+):
+    """mapInPandas generator: (keys..., surface) batches -> flat
+    (keys..., shingles, band_id, band_value) rows — the char-k-shingle
+    MinHash sketch of block_entities / surface_band_rows computed
+    inside ONE segmented NumPy pass per Arrow batch (r9; the Column
+    form interpreted a per-shingle fold + 16 array_min lambdas per
+    surface). Integer-identical spec: shingle hash = poly char fold
+    mod P over each k-char window (strings shorter than k hash whole,
+    the empty string hashes to 0 — ascii('') is 0 in the Column form),
+    signature s_i = min((a_i * h + b_i) % P) over the DISTINCT shingle
+    set, band value folds rows-per-band signature rows as v*P + s.
+    NULL surfaces emit no rows (the Column form emitted NULL band
+    values that no equi-join could ever match; every consumer joins on
+    band values). ``shingles`` is the distinct set (ascending order —
+    consumers use set semantics: array_intersect/array_union)."""
+    import numpy as np
+
+    P = MINHASH_PRIME
+    n_hashes = len(fam)
+    rows_per_band = n_hashes // n_bands
+    a_arr = np.array([a for a, _ in fam], dtype=np.int64)
+    b_arr = np.array([b for _, b in fam], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            surfs = list(pdf[surface_col])
+            live = [i for i, s in enumerate(surfs) if s is not None]
+            if not live:
+                continue
+            docs = [surfs[i] for i in live]
+            D = len(docs)
+            lens = np.fromiter((len(s) for s in docs), dtype=np.int64,
+                               count=D)
+            codes = np.frombuffer(
+                "".join(docs).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            surf_of = np.repeat(np.arange(D), lens)
+            total = len(codes)
+            # full windows (len >= k): global k-step rolling fold,
+            # windows crossing a surface boundary masked out
+            if total >= k:
+                h = np.zeros(total - k + 1, dtype=np.int64)
+                for t in range(k):
+                    h = (h * 31 + codes[t: total - k + 1 + t]) % P
+                valid = surf_of[: total - k + 1] == surf_of[k - 1:]
+                sdoc = surf_of[: total - k + 1][valid]
+                sval = h[valid]
+            else:
+                sdoc = np.empty(0, dtype=np.int64)
+                sval = np.empty(0, dtype=np.int64)
+            # short surfaces (len < k, incl. empty): whole-string fold
+            short = np.flatnonzero(lens < k)
+            if len(short):
+                hh = np.zeros(len(short), dtype=np.int64)
+                slens = lens[short]
+                for t in range(int(slens.max()) if len(slens) else 0):
+                    has = slens > t
+                    hh[has] = (hh[has] * 31
+                               + codes[starts[short[has]] + t]) % P
+                sdoc = np.concatenate([sdoc, short])
+                sval = np.concatenate([sval, hh])
+            # distinct shingle set per surface
+            order = np.lexsort((sval, sdoc))
+            sdoc, sval = sdoc[order], sval[order]
+            if len(sval):
+                keep = np.ones(len(sval), dtype=bool)
+                keep[1:] = (sdoc[1:] != sdoc[:-1]) | (sval[1:] != sval[:-1])
+                sdoc, sval = sdoc[keep], sval[keep]
+            counts = np.bincount(sdoc, minlength=D)
+            seg = np.concatenate(([0], np.cumsum(counts[:-1])))
+            mins = np.stack([
+                np.minimum.reduceat((a_arr[j] * sval + b_arr[j]) % P, seg)
+                for j in range(n_hashes)
+            ], axis=1)
+            vals = np.zeros((D, n_bands), dtype=np.int64)
+            for band in range(n_bands):
+                v = np.zeros(D, dtype=np.int64)
+                for r in range(rows_per_band):
+                    v = v * P + mins[:, band * rows_per_band + r]
+                vals[:, band] = v
+            shingle_lists = [
+                a.tolist() for a in np.split(sval, np.cumsum(counts)[:-1])
+            ]
+            out = {}
+            for kc in key_cols:
+                out[kc] = np.repeat(
+                    pdf[kc].to_numpy()[live], n_bands
+                )
+            out["shingles"] = pd.Series(
+                [shingle_lists[d] for d in range(D)
+                 for _ in range(n_bands)], dtype=object,
+            )
+            out["band_id"] = np.tile(np.arange(n_bands, dtype=np.int64), D)
+            out["band_value"] = vals.ravel()
+            yield pd.DataFrame(out)
+
+    return gen
+
+
 def block_entities(
     entities: DataFrame,
     key_col: str = "entity_id",
@@ -289,20 +396,27 @@ def block_entities(
     """entities(entity_id, surface) -> candidate edges
     (src, dst, jaccard) with src < dst and exact shingle-set Jaccard >=
     threshold. Dedups identical surfaces before banding (exact dups are
-    definitionally matched and would otherwise create hot band keys)."""
-    with_sh = entities.select(
-        F.col(key_col).alias("eid"),
-        F.col(surface_col).alias("surface"),
-        shingle_hashes(F.col(surface_col), k).alias("shingles"),
+    definitionally matched and would otherwise create hot band keys).
+    The shingle/MinHash sketch runs inside one Arrow pass
+    (_shingle_sketch_gen, r9) — integer-identical to the Column-
+    expression spec (shingle_hashes/minhash_signature/add_bands, kept
+    for the parity tests), with no interpreted per-shingle lambdas."""
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    canon_surface = (
+        entities.select(
+            F.col(key_col).alias("eid"),
+            F.col(surface_col).alias("surface"),
+        )
+        .groupBy("surface")
+        .agg(F.min("eid").alias("eid"))
     )
-    canon_surface = with_sh.groupBy("surface").agg(
-        F.min("eid").alias("eid"), F.first("shingles").alias("shingles")
-    )
-    banded = add_bands(
-        canon_surface.select(
-            "eid", "shingles", minhash_signature(F.col("shingles"), n_hashes, seed).alias("signature")
-        ),
-        "signature", n_bands, n_hashes,
+    fam = hash_family(n_hashes, seed)
+    eid_t = canon_surface.schema["eid"].dataType.simpleString()
+    banded = ensure_parallelism(canon_surface.select("eid", "surface")).mapInPandas(
+        _shingle_sketch_gen(["eid"], "surface", k, fam, n_bands),
+        schema=(f"eid {eid_t}, shingles array<bigint>, "
+                "band_id bigint, band_value bigint"),
     )
     pairs = (
         banded_pairs_salted(
@@ -343,23 +457,19 @@ def surface_band_rows(
     the incremental graph tail possible: a surface's band values never
     change as the corpus grows, so the verified-similar pair set over
     OLD strings is frozen and only pairs touching NEW strings need
-    computing (delta_surface_pairs)."""
-    with_sh = strings.select(
-        F.col(surface_col).alias("surface"),
-        shingle_hashes(F.col(surface_col), k).alias("shingles"),
+    computing (delta_surface_pairs). Computed through the same
+    _shingle_sketch_gen Arrow pass as block_entities (r9) — integer-
+    identical to the Column-expression spec."""
+    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
+
+    fam = hash_family(n_hashes, seed)
+    return ensure_parallelism(
+        strings.select(F.col(surface_col).alias("surface"))
+    ).mapInPandas(
+        _shingle_sketch_gen(["surface"], "surface", k, fam, n_bands),
+        schema=("surface string, shingles array<bigint>, "
+                "band_id bigint, band_value bigint"),
     )
-    return add_bands(
-        with_sh.select(
-            "surface",
-            "shingles",
-            minhash_signature(F.col("shingles"), n_hashes, seed).alias(
-                "signature"
-            ),
-        ),
-        "signature",
-        n_bands,
-        n_hashes,
-    ).select("surface", "shingles", "band_id", "band_value")
 
 
 def delta_surface_pairs(

@@ -23,15 +23,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# Logical operators whose presence means the frame's parallelism comes
+# from a SHUFFLE (spark.sql.shuffle.partitions / AQE), not from the
+# scan — such frames are already as parallel as the session and must be
+# left alone. Critically, probing them with df.rdd would EXECUTE the
+# adaptive plan's query stages eagerly (AdaptiveSparkPlanExec
+# materializes every exchange on toRdd), running the upstream shuffles
+# once at inspection time and again at the real action (r9: this
+# double-execution showed up as ~2x on block_entities before the
+# logical-plan guard below).
+_WIDE_MARKERS = (
+    "Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate",
+    "FlatMapGroups", "CoGroup",
+)
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to the session default parallelism iff it
-    currently has fewer partitions (driver-side plan inspection, no
-    job). Round-robin repartition is row-preserving and deterministic
-    under retry (sort-before-repartition is on by default), and every
-    caller is order-insensitive."""
+    """Repartition ``df`` to the session default parallelism iff it is
+    a NARROW, scan-rooted frame with fewer partitions (driver-side plan
+    inspection only — never executes). Frames containing any wide
+    operator inherit shuffle parallelism already and pass through
+    untouched. Round-robin repartition is row-preserving and
+    deterministic under retry (sort-before-repartition is on by
+    default), and every caller is order-insensitive."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(m in logical for m in _WIDE_MARKERS):
+            return df
+        # narrow plans carry no exchange, so AQE does not wrap them and
+        # .rdd is pure planning — no job
         cur = df.rdd.getNumPartitions()
     except Exception:
         return df
