@@ -53,6 +53,22 @@ def _capture_plan(df) -> str:
     return buf.getvalue()
 
 
+def _gemm_probe(reps: int = 60) -> float:
+    """Single-process f32 GEMM rate (matmuls/s) — the same job-matched
+    load probe bench.py's scaling loop uses. A clean window on this
+    host measures ~250-450; under heavy external load it drops below
+    50, and wall-clock numbers taken then are not comparable."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(256, 300).astype(np.float32)
+    b = rng.rand(300, 1200).astype(np.float32)
+    t0 = time.time()
+    for _ in range(reps):
+        a @ b
+    return round(reps / (time.time() - t0), 1)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     plans_tag = None
@@ -75,7 +91,7 @@ def main() -> None:
     wdf.select(F.sum("id")).count()
 
     qs = entry.queries()
-    out: dict = {}
+    out: dict = {"_load_probe_matmuls_per_sec": [_gemm_probe()]}
     for name in names:
         rec: dict = {}
         t0 = time.time()
@@ -100,6 +116,7 @@ def main() -> None:
         out[name] = rec
         print(f"# {name}: build={rec['build_s']} plan={rec['plan_s']} "
               f"exec={execs}", file=sys.stderr)
+    out["_load_probe_matmuls_per_sec"].append(_gemm_probe())
     print(json.dumps(out, indent=1))
     spark.stop()
 
