@@ -260,7 +260,15 @@ def test_similarity_queries_have_no_nested_loop_join(spark):
 
     for name in ("ann_topk", "embedding_near_dup", "winnow_fingerprint"):
         plan = _plan(e.queries()[name](spark, SF))
-        assert "NestedLoop" not in plan and "Cartesian" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the ONLY permitted nested-loop join is the lazy hot-key
+        # census's 1-row mean scalar attach (its filter references the
+        # _mean_n scalar — see skew.hot_key_census); any other
+        # BroadcastNestedLoopJoin means a bucketing rewrite degraded
+        # to all-pairs
+        for ln in plan.splitlines():
+            if "NestedLoop" in ln:
+                assert "_mean_n" in ln, f"{name}: {ln.strip()}"
 
 
 def test_winnow_has_no_shuffle(spark):

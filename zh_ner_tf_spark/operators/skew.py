@@ -55,6 +55,11 @@ def hot_key_census(
     the old empty-frame branch."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     mean = counts.agg(F.avg("n").alias("_mean_n"))
+    # 1-row broadcast scalar attach (the bm25/pagerank pattern; a
+    # constant-key equi join would be constant-folded back to the same
+    # BroadcastNestedLoopJoin by the optimizer). The `_mean_n` name is
+    # the marker the no-cartesian plan guard tests key on to tell this
+    # benign scalar attach from a degraded all-pairs join.
     return (
         counts.crossJoin(F.broadcast(mean))
         .filter(F.col("n") > factor * F.col("_mean_n"))
