@@ -65,15 +65,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
-
-    # the documents table is a single-row-group parquet file, so its
-    # scan is ONE task and every token pipeline chained on it
-    # (tokenize/window/aggregate) starts serial; ensure_parallelism is
-    # a no-op once inputs are partitioned >= session cores (guide §2.5)
-    return tokenize(
-        ensure_parallelism(_docs(spark, sf_dir)), "text", ["doc_id"]
-    )
+    # deliberately NOT ensure_parallelism'd (r9 A/B): every consumer's
+    # next operator is a window/groupBy EXCHANGE, which restores full
+    # parallelism anyway — a repartition between the scan and that
+    # exchange just adds a second serial shuffle write of the token
+    # stream (measured: eval_prf1 1.26 -> 0.95, triples 1.37 -> 0.89
+    # with the repartition removed)
+    return tokenize(_docs(spark, sf_dir), "text", ["doc_id"])
 
 
 def _class_expr(org_words: tuple[str, ...], hi: str) -> F.Column:
@@ -1412,11 +1410,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
-
-    # regex-heavy projection over an unsplittable one-row-group scan:
-    # spread it (no-op at production partition counts)
-    docs = ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
+    # deliberately NOT ensure_parallelism'd (r9): the operator is a
+    # pure scan projection ("must be free" at 100 TB); an A/B measured
+    # the repartition a wash-to-loss at sf0.1 (0.62 -> 0.79 bench-cold)
+    # because the shuffle of the text column costs what the parallel
+    # regex saves at this corpus size
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return quality_features(docs).drop("text")
 
 

@@ -424,9 +424,7 @@ def ngram_hash_rows(
     into every element_at reference — quadratic per document.)
     Documents with fewer than n tokens (including zero) contribute one
     whole-doc fold (matching word_ngram_hashes / the oracle SQL)."""
-    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
-
-    return ensure_parallelism(df.select(key_col, text_col)).select(
+    return df.select(
         F.col(key_col).alias("_k"),
         F.explode(gram_hashes_udf(n)(F.col(text_col))).alias("gh"),
     )
@@ -548,10 +546,10 @@ def positional_gram_rows(
 ) -> DataFrame:
     """(_k, pos, gh) rows: word-n-gram hashes in POSITIONAL order (not
     deduped) — the input sequence winnowing slides its window over.
-    Same Arrow-vectorized construction as ngram_hash_rows; no shuffle."""
-    from zh_ner_tf_spark.plans.parallel import ensure_parallelism
-
-    return ensure_parallelism(df.select(key_col, text_col)).select(
+    Same Arrow-vectorized construction as ngram_hash_rows; no shuffle.
+    (Spec/test path since r9 — winnow_fingerprints computes the whole
+    sketch in-UDF and no longer explodes positional rows.)"""
+    return df.select(
         F.col(key_col).alias("_k"),
         F.posexplode(
             gram_hashes_udf(n, distinct=False)(F.col(text_col))

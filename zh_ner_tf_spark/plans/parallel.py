@@ -16,6 +16,15 @@ partitions. On a production-sized input (partitions >= cores) it is a
 no-op — no extra exchange ever appears at scale — so the repartition
 cost (one shuffle of the narrow projection) is only ever paid where the
 alternative is serial execution of the expensive per-row work.
+
+WHERE to apply it (r9 A/B evidence): only where the CPU-dense operator
+has NO downstream exchange before its result is consumed or
+materialized (the tagger/sketch mapInPandas outputs, SRP banding into
+a broadcast-probe join). A pipeline whose very next operator is a
+window/groupBy/join exchange re-parallelizes there anyway, and the
+extra repartition is a second serial shuffle write of the same data —
+measured as a pure loss (eval_prf1 1.26 -> 0.95s, triples_pattern
+1.37 -> 0.89s after removing it from the token pipelines).
 """
 
 from __future__ import annotations
