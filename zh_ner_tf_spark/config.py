@@ -85,13 +85,17 @@ SPARK_CONF: dict[str, str] = {
     # AQE's coalesce floor defaults to 1 MB per partition, which
     # squeezes CPU-dense small exchanges (token windows, vector
     # rescores: kilobytes of compact rows carrying interpreted-
-    # expression or GEMM work) onto 1-3 tasks while the session idles —
+    # expression work) onto 1-3 tasks while the session idles —
     # measured r9: the 270k-token window stage ran on 3 tasks at 0.65s
-    # each. 64 KB still coalesces pathological tiny partitions but lets
-    # parallelism-first sizing use the cores; on production-sized
+    # each, and the 132k-pair cosine rescore in ONE task. A 3-point A/B
+    # (64k / 256k / 1m, interleaved same-session) showed 64k
+    # over-splits long chains of tiny shuffles (incremental_link
+    # 6.0s vs 3.8s at 1m) while 1m serializes the CPU-dense stages
+    # (embedding_near_dup 2.76 vs 2.02 at 64k); 256 KB is the measured
+    # balance point (near-best on every probe). On production-sized
     # shuffles (partitions >> 1 MB) the floor never binds, so this is
-    # scale-neutral.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # scale-neutral, not a local[32] constant.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Arrow batch size ≙ reference batch_size (main.py:≈18 [R]); tuned larger
