@@ -53,7 +53,17 @@ def hot_key_census(
     self-join at sf0.1. Same key set: n > factor * mean over the same
     counts; a NULL mean (empty input) fails the comparison, which is
     the old empty-frame branch."""
-    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    # counts feeds BOTH the mean scalar and the hot filter; the lazy
+    # checkpoint materializes it once (the mean broadcast is nested
+    # inside the hot frame's own build, so the first evaluation is
+    # sequential — no duplicate-compute race) instead of running the
+    # aggregation twice. Key-cardinality-sized, same class as the
+    # banded frame callers already materialize.
+    counts = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     mean = counts.agg(F.avg("n").alias("_mean_n"))
     # 1-row broadcast scalar attach (the bm25/pagerank pattern; a
     # constant-key equi join would be constant-folded back to the same
