@@ -104,7 +104,15 @@ def connected_components(
                 new_comp.alias("component"),
                 (new_comp != F.col("_old")).alias("_changed"),
             )
-        ).localCheckpoint()
+            # LAZY checkpoint (r9): the plan truncation happens
+            # immediately (same O(log d) lineage bound as before), but
+            # materialization rides the convergence probe's own count —
+            # ONE job per iteration where eager+probe paid two. The
+            # probe is the checkpoint's only first consumer, so there
+            # is no concurrent-materialization race; any partitions the
+            # probe's limit short-circuits past are computed (and then
+            # cached) on the next iteration's first full pass.
+        ).localCheckpoint(eager=False)
         changed = compressed.filter(F.col("_changed")).limit(1).count()
         labels = compressed.drop("_changed")
         if changed == 0:
